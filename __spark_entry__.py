@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``webscrap_datapipeline_spark.plans`` — the query
+registry where every operator from SURVEY.md §2 lives as a
+(Spark plan, DuckDB oracle SQL) pair. See plans/registry.py for the
+determinism rules that make exact value-hash parity achievable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webscrap_datapipeline_spark import plans  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's change-detection core (anti-join of
+    source watermarks against stored state, reference src/utils.py:168-194)
+    on sf0.001."""
+    _ensure_nanos_conf(spark)
+    return plans.REGISTRY["change_detection"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    wrapped = {}
+    for name, fn in plans.queries().items():
+        wrapped[name] = _with_conf(fn)
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for each SQL-expressible query."""
+    return plans.oracle_sql()
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    # read as long (the catalog converts long-ns → µs timestamps). The
+    # driver builds its own SparkSession, so set it here too.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
+def _with_conf(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_nanos_conf(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run

@@ -1,0 +1,136 @@
+"""Explicit-schema table loading for the test corpus.
+
+The reference never declares a schema (pandas inference everywhere,
+except the forced-string column 14 at reference src/process_files.py:47);
+this engine declares every schema up front — on a 100 TB lake, schema
+inference is a full extra scan and a correctness hazard.
+
+Tables ship as parquet under ``/root/testdata/sf*/`` (see TESTDATA.md).
+Parquet is self-describing, so ``spark.read.parquet`` needs no schema —
+but we still pin the *expected* schemas here and validate on load, which
+is what a production catalog (metastore) would do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Expected logical schemas (field name -> Spark type). Validation is
+# name-and-type but tolerant of int32/int64 width differences produced
+# by different parquet writers.
+EXPECTED_SCHEMAS: dict[str, list[tuple[str, T.DataType]]] = {
+    "region": [("r_regionkey", T.IntegerType()), ("r_name", T.StringType())],
+    "nation": [
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ],
+    "customer": [
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ],
+    "supplier": [
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ],
+    "part": [
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ],
+    "orders": [
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ],
+    "lineitem": [
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ],
+    "events": [
+        ("event_id", T.LongType()),
+        ("ts", T.TimestampType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ],
+    "documents": [
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ],
+    "embeddings": [
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ],
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one test table. Column pruning + filter pushdown reach the
+    parquet scan because this stays a plain declarative read."""
+    if name not in EXPECTED_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(EXPECTED_SCHEMAS)}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts ships as parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long ns-since-epoch.
+    # Truncate to µs (identical to DuckDB's native ns→µs handling).
+    for fld in df.schema.fields:
+        expected = dict(EXPECTED_SCHEMAS[name]).get(fld.name)
+        if isinstance(expected, T.TimestampType) and isinstance(fld.dataType, T.LongType):
+            df = df.withColumn(fld.name, F.timestamp_micros(F.expr(f"{fld.name} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Expose every table as a temp view so ``spark.sql`` queries work —
+    the engine's SQL front door."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,9 @@
+"""Aggregated query registry. Importing this package registers every
+query module's entries into ``registry.REGISTRY``."""
+
+from __future__ import annotations
+
+from . import core_queries  # noqa: F401
+from .registry import REGISTRY, oracle_sql, queries
+
+__all__ = ["REGISTRY", "queries", "oracle_sql"]
