@@ -162,18 +162,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem → revenue per order → top 10.
 
-    Scale: the segment filter prunes customer before the join; customer
-    and orders are small relative to lineitem, so AQE picks broadcast /
-    shuffled-hash appropriately. Top-k is TakeOrderedAndProject — no full
-    sort of the fact table. Tiebreak on l_orderkey keeps the limit
-    deterministic for the oracle hash.
+    Scale: the segment filter prunes customer before the join; the
+    (filtered) customer⋈orders side is the small one, so we pin the
+    broadcast THERE and stream lineitem — without the hint Spark's
+    size-estimate can pick the fact table as build side at small SF,
+    which inverts catastrophically at 100 TB. Top-k is
+    TakeOrderedAndProject — no full sort of the fact table. Tiebreak on
+    l_orderkey keeps the limit deterministic for the oracle hash.
     """
     cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

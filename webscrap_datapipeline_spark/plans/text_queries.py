@@ -1,0 +1,263 @@
+"""Text-analysis & deduplication queries over `documents` — the
+LLM-data-pipeline extension surface (BASELINE.json north star), all with
+exact DuckDB oracles. Sums of integer token counts are cast to BIGINT on
+both engines; doubles follow the registry's determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as TX
+from ..operators import dedup as DD
+from .registry import query
+
+# Shared SQL fragments so Spark expressions and oracles stay in lockstep.
+_TOKENS = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), w -> w <> '')"
+_STOPSET = "('the','a','of','and','to','in','is','it')"
+
+
+@query(
+    "token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS.format(c="text")})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct({_TOKENS.format(c="text")}))) AS BIGINT) AS total_distinct_tokens,
+           CAST(SUM(len(list_filter({_TOKENS.format(c="text")}, w -> w IN {_STOPSET}))) AS BIGINT) AS total_stopwords,
+           CAST(SUM(len({_TOKENS.format(c="text")})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per language —
+    integer-exact, map-side combinable."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+        F.sum(TX.distinct_token_count("text")).cast("bigint").alias("total_distinct_tokens"),
+        F.sum(TX.stopword_count("text")).cast("bigint").alias("total_stopwords"),
+        (F.sum(TX.token_count("text")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "doc_quality_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_TOKENS.format(c="text")} AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round((
+             len(list_distinct(toks))::DOUBLE / len(toks)
+             + len(list_filter(toks, w -> w IN {_STOPSET}))::DOUBLE / len(toks)
+             + CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+           ) / 3.0, 6) AS quality
+    FROM t
+    WHERE len(toks) > 0
+    ORDER BY quality DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("text", "topk"),
+)
+def doc_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (lexical diversity + stopword presence + length
+    band): per-doc scores, top 20. Pure per-row expressions — no shuffle
+    except the final top-k."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(TX.token_count("text") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(TX.quality_score("text"), 6).alias("quality"),
+        )
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "exact_dedup_documents",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), fp AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOKENS.format(c="lower(text)")}, ' ')) AS fp
+      FROM corpus
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS canonical_id, COUNT(*) AS n_members
+    FROM fp GROUP BY fp
+    """,
+    tags=("dedup",),
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint. The corpus has no
+    natural exact dups, so a shifted copy of every 10th doc is unioned in
+    — the dedup must then collapse exactly those pairs (n_members=2) and
+    keep the lowest id as canonical."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    out = DD.exact_dedup(corpus, "text", "doc_id")
+    return out.select("fp", F.col("canonical_id").cast("bigint"), "n_members")
+
+
+@query(
+    "near_dup_jaccard_topk",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS.format(c="text")}) - 2, 0) + 1),
+               i -> array_to_string(list_slice({_TOKENS.format(c="text")}, i, i + 2), ' ')
+             ))) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "similarity"),
+)
+def near_dup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup mining: exact word-3-gram Jaccard over an inverted
+    shingle index (explode → equi-self-join → count), top-20 pairs.
+    The equi-join on shingle is the scale move: candidates come from
+    shared shingles only, never an n² document cross join."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=None)
+    return (
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "simhash_documents",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id AS doc, unnest({_TOKENS.format(c="text")}) AS w
+      FROM documents WHERE doc_id < 100
+    ), hashed AS (
+      SELECT doc, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+    ), bitrows AS (
+      SELECT doc, bit,
+             CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM hashed, unnest(range(0, 63)) AS t(bit)
+    ), bitsum AS (
+      SELECT doc, bit, SUM(sgn) AS s FROM bitrows GROUP BY doc, bit
+    )
+    SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc
+    """,
+    tags=("dedup", "sketch"),
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document (first 100 docs) — frequency-weighted
+    bit votes from md5 word hashes; explode+aggregate, fully JVM-side."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return DD.simhash(docs, "text", "doc_id")
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN len(list_filter({_TOKENS.format(c="text")}, w -> w IN {_STOPSET})) * 10
+                    >= len({_TOKENS.format(c="text")}) THEN 'en_like'
+               WHEN len({_TOKENS.format(c="text")}) = 0 THEN 'empty'
+               ELSE 'other'
+             END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (stopword-density rule) crossed with
+    the labeled lang column — the confusion-matrix shape of any
+    classifier-vs-truth audit."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.token_count("text")
+    stops = TX.stopword_count("text")
+    pred = (
+        F.when(stops * 10 >= toks, F.lit("en_like"))
+        .when(toks == 0, F.lit("empty"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_TOKENS.format(c="lower(text)")}, ' ')) AS fp,
+           length(text) AS n_chars_actual
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document md5 fingerprint + length (reference F4/F7 analog:
+    deterministic derived identity columns)."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "minhash_lsh_near_dups",
+    oracle=None,  # 32-perm banded MinHash in pure SQL is impractical; the
+    # jaccard/simhash oracles above cover the deterministic core, and the
+    # pytest suite asserts LSH recall against exact Jaccard.
+    tags=("dedup", "lsh", "rows-only"),
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 bands × 4 rows, 32 md5 perms)
+    joined back to exact Jaccard — the O(n·bands) scale path for near-dup
+    dedup where the full pair join is infeasible."""
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = DD.minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=32)
+    cands = DD.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    exact = DD.jaccard_pairs(docs, "text", "doc_id", n=3)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b", F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim)
+— brute-force cosine top-k (the exactness baseline) and pairwise mining.
+The LSH-bucketed ANN scale path lives in operators/similarity.py with
+rows-only checks (bucket boundaries aren't SQL-portable).
+
+All vector math is JVM-side higher-order functions (functions/vectors.py)
+— sequential left-fold dot products that DuckDB's list_sum(list_transform)
+reproduces bit-for-bit, rounded to 6 dp at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine, norm
+from .registry import query
+
+_COS = """
+  list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+@query(
+    "embedding_knn_query0",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round({_COS.format(a="embedding", b="qe")}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "knn"),
+)
+def embedding_knn_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against one query vector. The query side
+    is a 1-row broadcast; the corpus streams → per-partition top-k via
+    TakeOrderedAndProject. This is the exact baseline ANN variants are
+    judged against."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_pairwise_topk",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100 AND b.vec_id < 100
+    ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+    LIMIT 15
+    """,
+    tags=("similarity",),
+)
+def embedding_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine over a bounded slice (the exact-verification
+    shape; unbounded all-pairs is what LSH bucketing replaces at scale)."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(15)
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_norm,
+           round(MIN(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+             AS min_norm,
+           round(MAX(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — the data-quality profile step of an
+    embedding pipeline (catches unnormalized / degenerate vectors)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    nrm = norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(nrm.cast("decimal(18,6)")).cast("double").alias("total_norm"),
+        F.round(F.min(nrm), 6).alias("min_norm"),
+        F.round(F.max(nrm), 6).alias("max_norm"),
+    )
