@@ -1,0 +1,166 @@
+"""Golden unit tests for composite operators on tiny literal frames —
+the semantic quirks SURVEY.md §5 calls out, plus LSH recall and the
+effectful-source scaffold."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from webscrap_datapipeline_spark.functions.scalars import (
+    clean_column_name,
+    filename_timestamp_str,
+    location_code,
+    modified_filename,
+)
+from webscrap_datapipeline_spark.operators.change_detection import (
+    detect_changes,
+    missing_keys,
+    update_state,
+)
+from webscrap_datapipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+from webscrap_datapipeline_spark.operators.scd import apply_current_flag
+from webscrap_datapipeline_spark.operators.temporal import asof_join
+from webscrap_datapipeline_spark.sources.scrape import RetryPolicy, fetch_partitioned
+
+
+def test_change_detection_composite_subsumes_both_paths(spark):
+    """J1 ∪ J2 ≡ one composite anti-join (SURVEY.md §3.2): new keys AND
+    stale-ts keys both surface; unchanged don't; right-only state rows
+    are silently dropped (reference src/utils.py:159 behavior)."""
+    source = spark.createDataFrame(
+        [("A", "t1"), ("B", "t2"), ("C", "t9"), ("C", "t9")], ["k", "ts"]
+    )
+    state = spark.createDataFrame(
+        [("A", "t1"), ("C", "t3"), ("GONE", "t0")], ["k", "ts"]
+    )
+    out = detect_changes(source, state, "k", "ts")
+    assert sorted(r["k"] for r in out.collect()) == ["B", "C"]  # B new, C stale, dup dropped
+    assert sorted(r["k"] for r in missing_keys(source, state, "k").collect()) == ["B"]
+
+
+def test_change_detection_reverted_ts_counts_as_changed(spark):
+    """Equality semantics, not ordering: a ts that moved BACKWARD is
+    still a change (FIXTURES.md A3: compared by equality only)."""
+    source = spark.createDataFrame([("A", "t1")], ["k", "ts"])
+    state = spark.createDataFrame([("A", "t5")], ["k", "ts"])
+    assert detect_changes(source, state, "k", "ts").count() == 1
+
+
+def test_update_state_merges_and_appends(spark):
+    state = spark.createDataFrame([("A", "t1"), ("B", "t2")], ["k", "ts"])
+    updates = spark.createDataFrame([("B", "t9"), ("NEW", "t7")], ["k", "ts"])
+    out = {r["k"]: r["ts"] for r in update_state(state, updates, "k", "ts").collect()}
+    assert out == {"A": "t1", "B": "t9", "NEW": "t7"}
+
+
+def test_scd_current_flag_protocol(spark):
+    existing = spark.createDataFrame(
+        [("L1", "2026-01-01", "Y", 1), ("L2", "2026-01-01", "Y", 2)],
+        ["LOC_ID", "ts", "CURRENT_IND", "payload"],
+    )
+    incoming = spark.createDataFrame(
+        [("L1", "2026-02-01", "Y", 3)], ["LOC_ID", "ts", "CURRENT_IND", "payload"]
+    )
+    out = apply_current_flag(existing, incoming, key="LOC_ID", ts="ts", tiebreak="payload")
+    rows = {(r["LOC_ID"], r["ts"]): r["CURRENT_IND"] for r in out.collect()}
+    assert rows[("L1", "2026-02-01")] == "Y"
+    assert rows[("L1", "2026-01-01")] is None  # de-flagged, retained
+    assert rows[("L2", "2026-01-01")] == "Y"  # untouched key keeps its flag
+    # idempotence: replaying the same incoming batch changes nothing
+    again = apply_current_flag(out, incoming, key="LOC_ID", ts="ts", tiebreak="payload")
+    assert {(r["LOC_ID"], r["ts"], r["CURRENT_IND"]) for r in again.collect()} >= {
+        ("L1", "2026-02-01", "Y"),
+        ("L2", "2026-01-01", "Y"),
+    }
+    assert again.filter(F.col("CURRENT_IND") == "Y").count() == 2
+
+
+def test_asof_join_golden(spark):
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [(1, "K", t(2024, 1, 10)), (2, "K", t(2024, 1, 20)), (3, "X", t(2024, 1, 5))],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("K", t(2024, 1, 10)), ("K", t(2024, 1, 15)), ("Y", t(2024, 1, 1))],
+        ["k", "rts"],
+    )
+    out = {r["id"]: r["matched_ts"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    assert out[1] == t(2024, 1, 10)   # match AT the left timestamp (≤)
+    assert out[2] == t(2024, 1, 15)   # latest ≤, not just any
+    assert out[3] is None             # key with no right rows → NULL
+
+
+def test_minhash_lsh_recall_of_high_jaccard_pairs(spark):
+    """Every pair with Jaccard ≥ 0.7 must be recalled by 8×4 LSH banding
+    (P[miss] = (1-s^4)^8 < 2% at s=0.7; the fixture pairs are ≥0.9)."""
+    base = " ".join(f"word{i}" for i in range(30))  # 28 distinct 3-shingles
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail end"),                     # ~0.93 jaccard vs 1
+            (3, "completely different content about spark engines and parquet files"),
+            (4, base.replace("word10", "changed")),      # ~0.8 jaccard vs 1
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "text", "doc_id").collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.7}
+    assert high, "fixture must contain high-jaccard pairs"
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(sigs).collect()
+    }
+    assert high <= cands
+
+
+def test_fetch_partitioned_retry_and_status(spark):
+    keys = spark.createDataFrame([("A",), ("B",), ("FAIL",)], ["k"])
+    calls: dict[str, int] = {}
+
+    def factory():
+        return object()
+
+    def fetch(session, key):
+        if key == "FAIL":
+            raise RuntimeError("boom")
+        return f"payload-{key}"
+
+    out = fetch_partitioned(
+        keys, "k", factory, fetch,
+        policy=RetryPolicy(tries=2, delay=0.0, backoff=1.0), num_partitions=2,
+    )
+    rows = {r["key"]: r for r in out.collect()}
+    assert rows["A"]["status"] == "ok" and rows["A"]["payload"] == "payload-A"
+    assert rows["FAIL"]["status"] == "failed" and rows["FAIL"]["attempts"] == 2
+    assert "RuntimeError" in rows["FAIL"]["error"]
+
+
+def test_scalar_functions_semantics(spark):
+    df = spark.createDataFrame(
+        [("ABCDE_08132026_14-30-05.csv",), ("no_timestamp_here.csv",)], ["fn"]
+    )
+    out = df.select(
+        filename_timestamp_str("fn").alias("ts"),
+        location_code("fn").alias("code"),
+        modified_filename("fn").alias("mod"),
+    ).collect()
+    assert out[0]["ts"] == "2026-08-13 14:30:05"
+    assert out[0]["code"] == "ABCDE"
+    assert out[0]["mod"] == "ABCDE_08132026_14-30-05_modified.csv"
+    # unmatched regex → NULL, not NameError (reference bug fixed, §7.4)
+    assert out[1]["ts"] is None
+    # name normalization implements the reference's INTENT (§1.3)
+    assert clean_column_name("Rate (USD)") == "RATE_USD"
+    assert clean_column_name("Closed To Arrival") == "CLOSED_TO_ARRIVAL"
+    assert clean_column_name("Base-Rate") == "BASE_RATE"

