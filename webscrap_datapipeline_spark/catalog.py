@@ -125,6 +125,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def ensure_min_parallelism(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the plan currently has fewer partitions
+    than the cluster has cores. Compute-heavy per-row work (shingling,
+    hashing, vector math) over a small/single-row-group parquet file
+    otherwise runs on one task; on a real lake the scan already yields
+    ≥cores splits and this is a no-op (we never repartition *down*)."""
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 

@@ -49,14 +49,24 @@ def char_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; deduplicated (set
     semantics — what Jaccard needs). Docs shorter than n words yield
-    an empty array."""
-    toks = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    an empty array.
+
+    Built from n aligned slices folded with zip_with, NOT
+    transform-over-positions: a positional lambda would re-evaluate the
+    whole tokenization expression per shingle position (higher-order
+    functions run interpreted and inline their argument trees), turning
+    an O(tokens) row into O(tokens²)."""
+    return shingles_of_tokens(tokens(col), n)
+
+
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """n-gram shingles from an already-computed token array column."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    out = parts[n - 1]
+    for i in range(n - 2, -1, -1):
+        out = F.zip_with(parts[i], out, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(out)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -5,23 +5,33 @@ MinHash-LSH near-dup detection.
 Design for 100 TB:
   * exact dedup is a hash-aggregate on a fingerprint — one shuffle of
     (fingerprint, doc_id), never of document bodies;
-  * Jaccard candidates come from an inverted shingle index (explode →
-    self-join on shingle) with frequency capping to kill the quadratic
-    blowup of ultra-common shingles;
+  * Jaccard pairs come from an inverted shingle index turned into
+    posting lists (groupBy shingle-hash → sorted doc list → a<b pair
+    fan-out) with frequency capping to kill the quadratic blowup of
+    ultra-common shingles; sizes ride along in the posting list so the
+    whole mine is two shuffles and zero joins;
   * SimHash reduces each doc to 63 bits map-side (explode+agg, no UDF);
-  * MinHash-LSH (band-bucket join) finds near-dup candidates in
-    O(n·bands) instead of O(n²).
+  * MinHash signatures are computed per-row (one md5 per shingle, then
+    cheap affine permutations) — a narrow map stage, zero shuffle;
+  * LSH banding buckets become posting lists the same way — candidate
+    discovery is O(n·bands), never O(n²).
 
-All deterministic: hashes derive from md5 (engine-portable), never from
-Spark-internal hash seeds.
+Evaluation discipline (matters as much as the shuffle plan): token and
+shingle arrays are materialized as real columns between stages.
+Higher-order-function lambdas inline their argument expression trees
+and re-evaluate them per element — compute-once columns keep the
+per-row cost linear. Deterministic throughout: hashes derive from md5,
+never from Spark-internal hash seeds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint, shingles_of_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -35,10 +45,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingled(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, sh): distinct word-n-gram shingle set per document, with
+    the token array materialized once per row. Documents with fewer
+    than n tokens are dropped (they have no n-shingles); the pushed-down
+    filter only re-tokenizes, which is linear and scan-side."""
+    toks = tokens(text_col)
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+        .select("doc", shingles_of_tokens(F.col("__toks"), n).alias("sh"))
+    )
+
+
 def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Inverted index: one row per (doc, distinct word-n-gram shingle)."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    return shingled(df, text_col, id_col, n).select(
+        "doc", F.explode("sh").alias("shingle")
+    )
+
+
+def _pair_combos(arr: Column) -> Column:
+    """All (i < j) element pairs of an array column, as structs
+    (a, b). Input must be pre-sorted for deterministic a<b order."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
@@ -52,28 +89,43 @@ def jaccard_pairs(
     """All doc pairs (a < b) sharing ≥1 word-n-gram shingle, with their
     exact Jaccard similarity over distinct-shingle sets.
 
-    ``max_shingle_freq`` drops shingles appearing in more than that many
-    docs before the self-join — the standard guard against quadratic
-    fan-out on boilerplate shingles ("click here to" appearing in 10M
-    docs would alone generate 10M² pairs).
+    Shape (two shuffles, zero joins):
+      explode on a 63-bit shingle *hash* (8-byte shuffle key instead of
+      the shingle string) → groupBy(hash) posting list of (doc, sz) →
+      per-shingle a<b pair fan-out (sizes ride along) → groupBy(pair)
+      count = |intersection| → Jaccard.
+
+    ``max_shingle_freq`` drops posting lists longer than the cap before
+    pair fan-out — the standard guard against quadratic blowup on
+    boilerplate shingles ("click here to" in 10M docs would alone
+    generate 10M² pairs). At 100 TB this cap is mandatory.
     """
-    idx = shingle_index(df, text_col, id_col, n)
+    from ..functions.text import word_hash64
+
+    base = shingled(df, text_col, id_col, n)
+    idx = base.select(
+        F.col("doc"), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    ).select(word_hash64(F.col("shingle")).alias("h"), F.struct("doc", "sz").alias("ds"))
+    posting = (
+        idx.groupBy("h")
+        .agg(F.array_sort(F.collect_set("ds")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     if max_shingle_freq is not None:
-        freq_w = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
-        idx = idx.join(
-            freq_w.filter(F.col("__freq") <= max_shingle_freq).select("shingle"), "shingle"
-        )
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = idx.alias("a")
-    b = idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        posting = posting.filter(F.size("docs") <= max_shingle_freq)
+    pairs = posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p")).select(
+        F.col("p.a.doc").alias("doc_a"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.doc").alias("doc_b"),
+        F.col("p.b.sz").alias("sz_b"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sz_a").alias("sz_a"),
+            F.max("sz_b").alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -95,7 +147,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFr
     ``bits`` ≤ 63 so the packed value fits a signed BIGINT on every
     engine (DuckDB has no UINT64 arithmetic in its BIGINT lane).
     """
-    from ..functions.text import tokens, word_hash64
+    from ..functions.text import word_hash64
 
     words = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w"))
     hashed = words.select("doc", word_hash64(F.col("w")).alias("h"))
@@ -120,68 +172,94 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFr
     )
 
 
+# Affine MinHash permutation constants: deterministic (md5-derived),
+# sized so a*h+b never overflows a signed 64-bit long under ANSI mode
+# (a < 2^20 odd, h < 2^32, b < 2^20 → a*h+b < 2^53).
+_MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"wsdp-minhash-perm-{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) & 0xFFFFF) | 1  # odd, < 2^20
+        b = int(d[8:16], 16) & 0xFFFFF
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature per doc: for permutation i, min over shingles of
-    md5(i ∥ shingle). Engine-portable (md5), no ml-lib dependency.
-    Output: (doc, array<bigint> of length num_hashes)."""
-    idx = shingle_index(df, text_col, id_col, n)
-    perms = idx.select(
+    """MinHash signature per doc: base-hash each distinct shingle once
+    (md5 → 32-bit), then permutation i takes min over shingles of
+    (aᵢ·h + bᵢ) mod p. Engine-portable, no ml-lib dependency.
+    Output: (doc, array<bigint> of length num_hashes).
+
+    Entirely per-row — a narrow map stage inside one projection, ZERO
+    shuffle (the naive formulation explodes |shingles|×num_hashes rows
+    through two groupBys; at 100 TB that shuffle dwarfs the hash work).
+    """
+    base = shingled(df, text_col, id_col, n)
+    hashed = base.select(
         "doc",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm"),
-    ).select(
-        "doc",
-        "perm",
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))), 1, 15), 16, 10
-        )
-        .cast("bigint")
-        .alias("h"),
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ).alias("__hs"),
     )
-    return (
-        perms.groupBy("doc", "perm")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
-        .select("doc", F.col("s.mh").alias("signature"))
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_PRIME)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
+            for (a, b) in _perm_consts(num_hashes)
+        ]
     )
+    return hashed.select("doc", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of ≥1 band become candidate
-    pairs. Join is equi on (band, band-hash) — shuffle-friendly, no n²."""
+    pairs. Buckets turn into posting lists (groupBy band+bucket →
+    sorted doc list → a<b fan-out → distinct): one shuffle + one
+    distinct, no self-join, no n²."""
     assert bands * rows_per_band <= 64
     banded = signatures.select(
         "doc",
-        "signature",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).select(
-        "doc",
-        "band",
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("band"),
-                F.concat_ws(
-                    ",",
-                    F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band),
-                ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.lit(band),
+                                F.concat_ws(
+                                    ",",
+                                    F.slice(
+                                        F.col("signature"), band * rows_per_band + 1, rows_per_band
+                                    ),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
             )
-        ).alias("bucket"),
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    posting = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_min_parallelism, load_table
 from ..functions import text as TX
 from ..operators import dedup as DD
 from .registry import query
@@ -106,7 +106,9 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural exact dups, so a shifted copy of every 10th doc is unioned in
     — the dedup must then collapse exactly those pairs (n_members=2) and
     keep the lowest id as canonical."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_min_parallelism(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"), spark
+    )
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -146,7 +148,7 @@ def near_dup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index (explode → equi-self-join → count), top-20 pairs.
     The equi-join on shingle is the scale move: candidates come from
     shared shingles only, never an n² document cross join."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
     pairs = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=None)
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -249,15 +251,27 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "rows-only"),
 )
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (8 bands × 4 rows, 32 md5 perms)
-    joined back to exact Jaccard — the O(n·bands) scale path for near-dup
-    dedup where the full pair join is infeasible."""
-    docs = load_table(spark, "documents", sf_dir)
+    """MinHash-LSH candidate pairs (8 bands × 4 rows, 32 md5 perms),
+    each verified with its exact Jaccard — the O(n·bands) scale path for
+    near-dup dedup where the full pair mine is infeasible. Verification
+    joins the candidate list back to the per-doc shingle *sets* and
+    computes intersection/union per pair — cost scales with |candidates|,
+    never with |corpus|²."""
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
     sigs = DD.minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=32)
     cands = DD.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
-    exact = DD.jaccard_pairs(docs, "text", "doc_id", n=3)
+    sh = docs.select(F.col("doc_id").alias("doc"), TX.word_shingles("text", 3).alias("sh"))
     return (
-        cands.join(exact, ["doc_a", "doc_b"], "left")
-        .select("doc_a", "doc_b", F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"))
+        cands.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
     )
