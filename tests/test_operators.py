@@ -164,3 +164,70 @@ def test_scalar_functions_semantics(spark):
     assert clean_column_name("Rate (USD)") == "RATE_USD"
     assert clean_column_name("Closed To Arrival") == "CLOSED_TO_ARRIVAL"
     assert clean_column_name("Base-Rate") == "BASE_RATE"
+
+
+def test_lsh_topk_finds_planted_near_dups(spark):
+    """A vector's exact copy lands in the same LSH bucket with
+    probability 1 (identical hyperplane signs), so ANN top-k must rank
+    it first with cosine ≈ 1 — the planted-neighbor recall contract.
+    (Random Gaussian corpora have no cluster structure; recall against
+    arbitrary brute-force top-k is legitimately near-zero there, so the
+    planted pair is the honest test.)"""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    copies = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding").unionByName(copies)
+    for fn in (brute_force_topk, lambda c, q, k: lsh_topk(c, q, k, dim=64, n_planes=8)):
+        top1 = {
+            r["query_id"]: (r["vec_id"], r["score"])
+            for r in fn(corpus, queries, 1).collect()
+        }
+        for qid in (0, 1, 2):
+            vec, score = top1[qid]
+            assert vec == qid + 1000
+            assert abs(score - 1.0) < 1e-6
+
+
+def test_multimodal_extract_features_fake_decoder(spark):
+    from webscrap_datapipeline_spark.operators.multimodal import (
+        extract_features,
+        fake_decoder,
+        metadata_prune,
+    )
+
+    rows = [
+        (1, "image", b"abc", ("image/png", 640, 480, 0)),
+        (2, "audio", b"\x00\xff", ("audio/wav", 0, 0, 1200)),
+        (3, "video", None, ("video/mp4", 320, 240, 5000)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    out = {r["media_id"]: r for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert out[1]["n_bytes"] == 3
+    assert out[1]["feature"] == [3.0, 97.0, 99.0, float((97 + 98 + 99) % 997)]
+    assert out[2]["feature"][1] == 0.0 and out[2]["feature"][2] == 255.0
+    assert out[3]["n_bytes"] == 0 and out[3]["feature"] == [0.0, 0.0, 0.0, 0.0]
+
+    pruned = metadata_prune(media, min_width=300, kinds=("image", "video"))
+    assert {r["media_id"] for r in pruned.collect()} == {1, 3}
+
+
+def test_multimodal_decoder_contract_raises(spark):
+    """default_decoder must fail loudly — a cluster without a real decode
+    kernel should never silently emit garbage features."""
+    import pytest as _pytest
+
+    from webscrap_datapipeline_spark.operators.multimodal import default_decoder
+
+    with _pytest.raises(NotImplementedError):
+        default_decoder("image", b"payload")

@@ -113,6 +113,11 @@ def jaccard_pairs(
     )
     if max_shingle_freq is not None:
         posting = posting.filter(F.size("docs") <= max_shingle_freq)
+    # The pair explode fans out |docs|²/2 rows per posting list; AQE sizes
+    # partitions from the *pre*-explode bytes and would coalesce this to a
+    # handful of tasks. Explicit repartition (respected by AQE) keeps the
+    # fan-out and the pair aggregation wide.
+    posting = posting.repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p")).select(
         F.col("p.a.doc").alias("doc_a"),
         F.col("p.a.sz").alias("sz_a"),

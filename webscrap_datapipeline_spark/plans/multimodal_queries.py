@@ -1,0 +1,86 @@
+"""Multimodal-column queries — image/audio/video payloads as opaque
+BINARY columns with typed metadata (BASELINE.json north star:
+"multimodal columns").
+
+The test corpus has no real media, so the media table is derived
+deterministically from `documents` (payload = utf-8 bytes of the text,
+kind/metadata from stable column math). What the driver then checks
+end-to-end is the real Spark plumbing: binary columns, metadata-struct
+pruning BEFORE any decode, and the Arrow-batched mapInPandas decode
+path (operators/multimodal.py) whose Python-side byte counts must agree
+with DuckDB's octet_length — if the Arrow round trip corrupted or
+re-encoded payloads, the oracle hash would catch it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import ensure_min_parallelism, load_table
+from ..operators import multimodal as MM
+from .registry import query
+
+_KINDS = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media rows matching operators/multimodal.MEDIA_SCHEMA.
+    Deterministic: payload is the utf-8 encoding of the text; kind cycles
+    by doc_id; width/height/duration derive from n_chars."""
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-"), kind).alias("mime"),
+            (F.col("n_chars") % 1024).cast("int").alias("width"),
+            (F.col("n_chars") % 768).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE (n_chars % 1024) >= 200
+      AND ['image','audio','video'][(doc_id % 3 + 1)::INT] IN ('image', 'video')
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-prune (kind + min width, struct predicates only — no
+    payload touched) → Arrow-batched mapInPandas decode pass → per-media
+    byte counts. The n_bytes values are computed in PYTHON inside the
+    decode batches, so the oracle hash certifies the whole
+    binary-through-Arrow round trip."""
+    media = MM.metadata_prune(media_table(spark, sf_dir), min_width=200, kinds=("image", "video"))
+    feats = MM.extract_features(media, decoder=MM.fake_decoder)
+    return feats.select("media_id", "kind", F.col("n_bytes").cast("bigint").alias("n_bytes"))
+
+
+@query(
+    "multimodal_feature_batches",
+    oracle=None,  # features are Python-kernel outputs (byte checksums);
+    # the pytest suite pins them to the deterministic fake_decoder spec.
+    tags=("multimodal", "mapInPandas", "rows-only"),
+)
+def multimodal_feature_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode/feature-extract surface: every media row through the
+    batch-budgeted mapInPandas decoder, returning the feature vectors a
+    real image/audio kernel would emit (deterministic fake here — the
+    decode kernel is the documented injection point)."""
+    feats = MM.extract_features(media_table(spark, sf_dir), decoder=MM.fake_decoder)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round(F.element_at("feature", 4), 1).alias("checksum_feature"),
+    )

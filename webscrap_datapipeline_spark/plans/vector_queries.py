@@ -114,3 +114,106 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(nrm), 6).alias("min_norm"),
         F.round(F.max(nrm), 6).alias("max_norm"),
     )
+
+
+# --- LSH near-dup / ANN scale path -----------------------------------------
+# The hyperplanes are deterministic (md5-seeded ±1, operators/similarity.py
+# _hyperplane), so the SQL oracle reproduces the bucketing bit-for-bit:
+# near-dup-by-bucket is approximate by construction but exactly checkable.
+
+from ..operators import similarity as SIM  # noqa: E402
+
+_ND_PLANES = 12
+_ND_DIM = 64
+_ND_SEED = 7
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    lits = ", ".join("1.0" if x > 0 else "-1.0" for x in plane)
+    return (
+        f"list_sum(list_transform(range(1, {len(plane) + 1}), "
+        f"i -> {vec}[i]::DOUBLE * (LIST_VALUE({lits}))[i]))"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    planes = [SIM._hyperplane(_ND_SEED, p, _ND_DIM) for p in range(_ND_PLANES)]
+    terms = [
+        f"(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ), bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket FROM corpus
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.9
+    """,
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, LSH-bucketed: hyperplane-bucket
+    every vector map-side, compare only within buckets (equi-join on
+    bucket — never n²), keep pairs with cosine ≥ 0.9. The corpus has no
+    natural near-dups, so shifted exact copies of every 20th vector are
+    unioned in — the operator must find exactly those pairs. At 100 TB
+    the bucket join shuffles 8-byte keys; multi-probe or fewer planes
+    trade recall for candidate volume."""
+    from ..catalog import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"), spark
+    )
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    b = SIM.lsh_bucket(corpus, "embedding", dim=_ND_DIM, n_planes=_ND_PLANES, seed=_ND_SEED)
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cs = cosine(F.col("ea"), F.col("eb"))
+    return (
+        left.join(right, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cs >= 0.9)
+        .select("vec_a", "vec_b", F.round(cs, 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "embedding_ann_lsh_topk",
+    oracle=None,  # ANN recall is probabilistic-by-design; the pytest suite
+    # asserts recall against brute_force_topk (the oracled exact baseline).
+    tags=("similarity", "knn", "lsh", "rows-only"),
+)
+def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for 5 query vectors via hyperplane-LSH bucketing with
+    exact-cosine rescoring (operators/similarity.lsh_topk). 6 planes →
+    64 buckets: recall/candidate-volume knob. This is the scale path the
+    brute-force oracle query (embedding_knn_query0) is the ground truth
+    for."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = SIM.lsh_topk(corpus, queries_df, k=5, dim=64, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
+    ).orderBy("query_id", "rnk")
