@@ -275,3 +275,76 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
     )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, regexp_extract_all(text, '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(list_filter(toks, w -> regexp_matches(w, '^[0-9]+$')))) AS BIGINT) AS numeric_tokens,
+           CAST(SUM(len(list_filter(toks, w -> NOT regexp_matches(w, '^[A-Za-z0-9]')))) AS BIGINT) AS punct_tokens
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "tokenize", "agg"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization (letter runs | digit runs | single
+    punctuation — the GPT-2-style split a subword tokenizer starts from)
+    aggregated per language. Pure regexp_extract_all + array filters:
+    JVM-side, map-combinable, identical RE2-safe pattern on both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    base = docs.select("lang", toks.alias("toks"))
+    is_num = lambda w: w.rlike("^[0-9]+$")  # noqa: E731
+    is_punct = lambda w: ~w.rlike("^[A-Za-z0-9]")  # noqa: E731
+    return base.groupBy("lang").agg(
+        F.sum(F.size("toks")).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(F.size(F.filter("toks", is_num))).cast("bigint").alias("numeric_tokens"),
+        F.sum(F.size(F.filter("toks", is_punct))).cast("bigint").alias("punct_tokens"),
+    )
+
+
+_ROLL_P = 1_000_000_007  # classic polynomial-hash modulus; keeps
+# acc*31+h < 2^63 so the fold is overflow-safe under ANSI on both engines
+
+
+@query(
+    "doc_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''),
+                 w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % {_ROLL_P}) AS rolling_hash,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''))
+                AS INT) AS n_tokens
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    h ← (h·31 + md5₃₂(word)) mod p folded over the token stream — unlike
+    the set-based md5 fingerprint, token order changes the value. One
+    narrow projection per row (F.aggregate fold), no shuffle."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    toks = TX.tokens("text")
+    base = docs.select("doc_id", toks.alias("__toks"))
+    hs = F.transform(
+        F.col("__toks"), lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+    roll = F.aggregate(hs, F.lit(0).cast("bigint"), lambda acc, h: (acc * 31 + h) % F.lit(_ROLL_P))
+    return base.select(
+        "doc_id", roll.alias("rolling_hash"), F.size("__toks").cast("int").alias("n_tokens")
+    )
