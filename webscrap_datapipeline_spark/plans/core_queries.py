@@ -566,3 +566,67 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.month("o_orderdate").cast("int").alias("order_month"),
     ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+
+
+@query(
+    "ship_months_without_orders",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month FROM lineitem
+    EXCEPT
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS ship_month FROM orders
+    """,
+    tags=("setop", "except"),
+)
+def ship_months_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, distinct semantics — SURVEY §2.4 notes the
+    reference expresses difference only via anti-joins; this is the
+    relational set-op twin). Months where something shipped but nothing
+    was ordered — the shipping tail past the last order month."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would be bag
+    # difference and keep months whose row counts merely differ.
+    return li.select(F.date_trunc("month", "l_shipdate").alias("ship_month")).subtract(
+        orders.select(F.date_trunc("month", "o_orderdate").alias("ship_month"))
+    )
+
+
+@query(
+    "nations_with_customers_and_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — nations present on both sides of the
+    market. Catalyst plans this as a left-semi aggregate, one shuffle."""
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supp.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2² grouping sets in one pass (Spark expands grouping
+    sets map-side; one shuffle total, vs four separate groupBys)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price")
+    )

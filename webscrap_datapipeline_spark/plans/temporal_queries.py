@@ -239,3 +239,31 @@ def price_band_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sliding_10min_5min_events",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+                     time_bucket(INTERVAL '5 minutes', ts)]) AS window_start,
+             event_type
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("window", "sliding", "streaming-batch"),
+)
+def sliding_10min_5min_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min window, 5 min slide — overlap factor 2):
+    each event lands in exactly two windows; Spark expands them with the
+    same F.window call the streaming builder (streaming/windows.py
+    sliding_counts) uses. The oracle expands explicitly via unnest of the
+    two epoch-aligned bucket starts."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
