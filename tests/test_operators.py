@@ -231,3 +231,54 @@ def test_multimodal_decoder_contract_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         default_decoder("image", b"payload")
+
+
+def test_ivf_topk_finds_planted_near_dups(spark):
+    """A query's exact copy lies in the cell whose centroid is nearest
+    the query vector itself — IVF with nprobe≥1 must rank it first."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.similarity import ivf_topk
+
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    copies = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding").unionByName(copies)
+    top1 = {
+        r["query_id"]: (r["vec_id"], r["score"])
+        for r in ivf_topk(corpus, queries, k=1, n_centroids=8, nprobe=2).collect()
+    }
+    for qid in (0, 1, 2):
+        vec, score = top1[qid]
+        assert vec == qid + 1000
+        assert abs(score - 1.0) < 1e-6
+
+
+def test_asof_join_pandas_agrees_with_window_asof(spark):
+    """The grouped-map (merge_asof) and window (carry-forward)
+    implementations must agree row-for-row."""
+    import datetime as _dt
+
+    from webscrap_datapipeline_spark.operators.temporal import asof_join, asof_join_pandas
+
+    t = lambda d, h=0: _dt.datetime(2024, 1, d, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10, 5)), (1, t(20)), (2, t(15)), (3, t(1))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10)), (1, t(12)), (2, t(15)), (2, t(16))],
+        "k int, rts timestamp",
+    )
+    a = {(r["k"], r["ts"]): r["matched_ts"]
+         for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    b = {(r["k"], r["ts"]): r["matched_ts"]
+         for r in asof_join_pandas(left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    assert a == b and len(a) == 4
+    assert a[(2, t(15))] == t(15)   # match AT the timestamp
+    assert a[(3, t(1))] is None     # no right rows for the key

@@ -101,3 +101,76 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
     return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _l2sq(a: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — JVM-side fold."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def ivf_assign(df: DataFrame, vec: str, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Adds ``cid``: the id of the nearest centroid (argmin L2, ties to
+    the lower cid via lexicographic struct ordering). Centroids are plan
+    literals — evaluated inside codegen, no join, no shuffle."""
+    dists = F.array(
+        *[F.struct(_l2sq(F.col(vec), c).alias("d"), F.lit(cid).alias("cid")) for cid, c in centroids]
+    )
+    return df.withColumn("cid", F.array_min(dists)["cid"])
+
+
+def _probe_cids(vec: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for a vector column."""
+    dists = F.array(
+        *[F.struct(_l2sq(F.col(vec), c).alias("d"), F.lit(cid).alias("cid")) for cid, c in centroids]
+    )
+    return F.slice(F.array_sort(dists), 1, nprobe)["cid"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    around ``n_centroids`` centroids, search only the ``nprobe`` cells
+    nearest each query, rescore candidates with exact cosine.
+
+    Centroid selection here is deterministic (the n lowest-id corpus
+    vectors — a k-means fit or reservoir sample is the production
+    upgrade; the *query shape* is identical either way). Cell assignment
+    is a narrow map stage; the candidate join is equi on cid (probe list
+    exploded to rows), so the shuffle key is an int — never vectors×n².
+    Recall/cost knob: nprobe (cells searched per query).
+    """
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(F.col(corpus_id).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    assigned = ivf_assign(corpus, corpus_vec, centroids)
+    probes = queries.withColumn("__probe", _probe_cids(query_vec, centroids, nprobe)).select(
+        query_id, query_vec, F.explode("__probe").alias("cid")
+    )
+    cand = assigned.join(probes, "cid").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -630,3 +630,38 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price")
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts per priority ×
+    status. Explicit value list so the plan needs no extra distinct-scan
+    pass and the output schema is static — the form that scales."""
+    orders = load_table(spark, "orders", sf_dir)
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("O_t").cast("double").alias("open_total"),
+    )

@@ -267,3 +267,28 @@ def sliding_10min_5min_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile ≡ DuckDB
+    quantile_cont — same linear interpolation, so values hash-match).
+    At 100 TB the same query swaps to percentile_approx (t-digest sketch,
+    map-combinable) — kept exact here because the oracle demands it and
+    the exact form is still a single shuffle."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )

@@ -217,3 +217,26 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
     ).orderBy("query_id", "rnk")
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle=None,  # probe membership is argmin-of-float — deterministic in
+    # Spark but not portably reproducible in SQL at the boundary; pytest
+    # pins planted-neighbor recall and cross-checks against brute force.
+    tags=("similarity", "knn", "ivf", "rows-only"),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for 5 query vectors: Voronoi-cell partition around 8
+    deterministic centroids, nprobe=3 cells searched per query, exact
+    cosine rescoring (operators/similarity.ivf_topk). The inverted-file
+    counterpart to the hyperplane-LSH scale path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = SIM.ivf_topk(corpus, queries_df, k=5, n_centroids=8, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
+    ).orderBy("query_id", "rnk")
