@@ -282,3 +282,18 @@ def test_asof_join_pandas_agrees_with_window_asof(spark):
     assert a == b and len(a) == 4
     assert a[(2, t(15))] == t(15)   # match AT the timestamp
     assert a[(3, t(1))] is None     # no right rows for the key
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL++ estimate must land within 5% of the exact distinct count
+    per group (rsd=0.01 targets ~1%; 5% is the hard ceiling)."""
+    from webscrap_datapipeline_spark.plans import REGISTRY
+
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["approx_distinct_users"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert exact > 0
+        assert abs(r["approx_users"] - exact) <= max(1, 0.05 * exact)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from . import core_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
+from . import sql_surface_queries  # noqa: F401
 from . import temporal_queries  # noqa: F401
 from . import text_queries  # noqa: F401
 from . import vector_queries  # noqa: F401

@@ -1,0 +1,440 @@
+"""Extended SQL surface (SURVEY.md §2.3–§2.7 extension rows).
+
+Operators absent from the reference (a 741-LoC pandas ETL with two
+anti-joins and zero aggregates, see SURVEY §2.5-§2.6) but required for
+"a user could switch their analytics here": full outer join, grouping
+sets, scalar subqueries, explode/UDTF fan-out, array/string/math scalar
+functions, and the rest of the window-function family. All pure
+DataFrame built-ins — whole-stage codegen end-to-end, no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .core_queries import dsum
+from .registry import query
+
+# ----------------------------------------------------------------------------
+# Joins: full outer
+
+
+@query(
+    "full_outer_customer_activity",
+    oracle="""
+    WITH early AS (
+        SELECT o_custkey, COUNT(*) AS n_early
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        GROUP BY o_custkey
+    ), late AS (
+        SELECT o_custkey, COUNT(*) AS n_late
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.o_custkey, l.o_custkey) AS o_custkey,
+           COALESCE(e.n_early, 0) AS n_early,
+           COALESCE(l.n_late, 0) AS n_late
+    FROM early e FULL OUTER JOIN late l ON e.o_custkey = l.o_custkey
+    """,
+    tags=("join", "full-outer"),
+)
+def full_outer_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two disjoint-period aggregates of the same fact
+    table — customers active only-early, only-late, or both.
+
+    Scale: both inputs are aggregates of one scan (Spark reuses the
+    exchange when keys match); the full outer is an equi sort-merge on
+    the already-shuffled key, so no extra wide dependency.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cut = F.lit("1995-01-01").cast("timestamp")
+    early = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    return (
+        early.join(late, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_early", F.lit(0)).alias("n_early"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Aggregation: GROUPING SETS (rollup/cube's general form)
+
+
+@query(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize
+    (SURVEY §2.5: absent in reference, Spark built-in). One pass over the
+    fact table; Catalyst expands the sets map-side, so the shuffle still
+    carries partially-aggregated rows, not the raw scan."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+
+
+# ----------------------------------------------------------------------------
+# Scalar subquery
+
+
+@query(
+    "parts_above_avg_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) FROM part
+    )
+    """,
+    tags=("subquery", "scalar"),
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: parts priced above the global mean.
+    Expressed as a 1-row aggregate cross-joined (broadcast) into the
+    scan — the plan Catalyst itself produces for an uncorrelated scalar
+    subquery: one reduce to a single row, zero-cost broadcast, predicate
+    evaluated inside the scan's codegen stage. Mean follows the
+    exact-decimal-sum / count determinism rule."""
+    part = load_table(spark, "part", sf_dir)
+    mean = part.agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mean")
+    )
+    return (
+        part.join(F.broadcast(mean))
+        .filter(F.col("p_retailprice") > F.col("__mean"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# ----------------------------------------------------------------------------
+# UDTF-ish fan-out: explode (SURVEY §2.9 X5 generalized to 1:N)
+
+
+@query(
+    "word_explode_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("explode", "udtf", "text"),
+)
+def word_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N row fan-out (the generalized shape of the reference's
+    row-building loop, src/process_files.py:90-121): explode documents
+    into tokens, global top-20 by frequency with a total-order tiebreak.
+
+    Scale: explode is a narrow op (no shuffle); the groupBy partially
+    aggregates map-side so the shuffle carries (token, count) pairs —
+    cardinality of the vocabulary, not the token stream.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.7 extension: arrays / strings / math)
+
+
+@query(
+    "embedding_array_probe",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_component
+    FROM embeddings WHERE vec_id < 100
+    """,
+    tags=("array", "functions"),
+)
+def embedding_array_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column: size,
+    element_at, array_max/min. All JVM-side codegen; the float32→double
+    cast is exact so both engines round the same value."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_component"),
+    )
+
+
+@query(
+    "string_functions_probe",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           reverse(c_mktsegment) AS segment_rev,
+           replace(c_name, '#', '-') AS name_dashed,
+           concat_ws('|', c_mktsegment, c_name) AS seg_name
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+    tags=("string", "functions"),
+)
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (the reference's F4/F5/F9 surface widened):
+    case, length, substring, pad, reverse, replace, concat_ws."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("segment_rev"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+@query(
+    "math_functions_probe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_delta,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           round(l_extendedprice, 1) AS price_round1,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_extendedprice * l_extendedprice AS price_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem WHERE l_orderkey % 997 = 0
+    """,
+    tags=("math", "functions"),
+)
+def math_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family: abs/floor/ceil/round/sqrt/square/mod. Only
+    IEEE-exact ops (sqrt is correctly rounded per IEEE-754 in both
+    engines) — no libm-approximated transcendentals in a value-hashed
+    query."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_delta"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Window family completion: ntile / percent_rank / cume_dist,
+# first/last/nth value, RANGE frames
+
+
+@query(
+    "ntile_value_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events
+    )
+    SELECT event_type, quartile, COUNT(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM q GROUP BY event_type, quartile
+    """,
+    tags=("window", "ntile"),
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) bucketing per event type, aggregated to quartile
+    envelopes. Total order (value, event_id) makes bucket membership
+    deterministic; both engines assign remainder rows to the earliest
+    buckets."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@query(
+    "customer_balance_distribution",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    QUALIFY c_custkey % 211 = 0
+    """,
+    tags=("window", "percent-rank"),
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a global total order (acctbal with
+    key tiebreak), sampled post-window. Both are exact rationals of row
+    positions — one IEEE division, identical on both engines.
+
+    Scale note: a single global window is a 1-partition sort — at 100 TB
+    this becomes rank-within-stratum or an approx quantile sketch; kept
+    global here because the whole customer table at any sane SF fits one
+    executor's sort buffer."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("c_custkey") % 211 == 0)
+    )
+
+
+@query(
+    "user_value_bookends",
+    oracle="""
+    SELECT user_id, event_id, value,
+           first_value(value) OVER w AS v_first,
+           last_value(value)  OVER w AS v_last,
+           nth_value(value, 2) OVER w AS v_second
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY user_id < 50
+    """,
+    tags=("window", "first-last"),
+)
+def user_value_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over an explicit unbounded frame (the
+    default frame would make last_value = current row — the classic
+    trap, spelled out here on purpose) with a total order per user."""
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.first("value").over(w).alias("v_first"),
+            F.last("value").over(w).alias("v_last"),
+            F.nth_value("value", 2).over(w).alias("v_second"),
+        )
+        .filter(F.col("user_id") < 50)
+    )
+
+
+@query(
+    "trailing_30d_customer_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): each order's trailing
+    30-day spend for its customer. Peers at the same day share a frame,
+    so the result is deterministic even with date ties — the reason
+    RANGE, not ROWS, is the correct frame here."""
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Sketch aggregation: approx_count_distinct (rows-only — HLL estimates
+# are engine-specific by construction; pytest pins <5% relative error
+# against the exact count)
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,
+    tags=("agg", "sketch", "rows-only"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type, next to the
+    exact count. The sketch is THE 100 TB form of count-distinct: fixed
+    ~kB state per group, map-side combinable, no key shuffle of the raw
+    stream — exact distinct is the one aggregate that can't partially
+    aggregate. rsd=0.01 ≈ 1% target error; pytest pins <5% observed."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

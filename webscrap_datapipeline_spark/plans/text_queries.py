@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import ensure_min_parallelism, load_table
 from ..functions import text as TX
@@ -347,4 +348,63 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = F.aggregate(hs, F.lit(0).cast("bigint"), lambda acc, h: (acc * 31 + h) % F.lit(_ROLL_P))
     return base.select(
         "doc_id", roll.alias("rolling_hash"), F.size("__toks").cast("int").alias("n_tokens")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   w -> w <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                           tf.token ASC) AS rnk
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rnk
+    FROM scored WHERE rnk <= 3 AND doc_id < 100
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document (idf = ln(N/df), total-order
+    tiebreak on the term). The classic two-aggregate text pipeline:
+    tf = count per (doc, term); df = doc-frequency per term over the
+    whole corpus; score joined back on the term.
+
+    Scale: both aggregates partially combine map-side; the tf→df join
+    shuffles on the term — the vocabulary, not the token stream. df is
+    vocabulary-sized, so AQE broadcasts it. The final per-doc top-k is a
+    window over (doc_id), which the tf shuffle already partitioned.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("__s").desc(), F.col("token").asc())
+    return (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("__s", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", F.round("__s", 6).alias("tfidf"), "rnk")
     )
