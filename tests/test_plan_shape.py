@@ -1,0 +1,98 @@
+"""Physical-plan audits — the scale contract, enforced.
+
+Correctness tests say a query's *values* are right; these say its *plan*
+is the one that survives 100 TB: filters and column pruning reach the
+parquet scan, small dimensions broadcast instead of shuffling the fact
+table, aggregates partially combine map-side, hot paths stay inside
+whole-stage codegen, and nothing quietly degrades to a cartesian
+product. Plans are built, never executed — this file costs milliseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webscrap_datapipeline_spark.catalog import load_table
+from webscrap_datapipeline_spark.plans import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        load_table(spark, "orders", SF_SMALL)
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_custkey")
+    )
+    plan = plan_str(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "LessThan(o_custkey,100)" in pushed.replace(" ", "")
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    df = load_table(spark, "orders", SF_SMALL).select("o_orderkey", "o_custkey")
+    plan = plan_str(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_custkey" in read_schema
+    assert "o_totalprice" not in read_schema and "o_orderstatus" not in read_schema
+
+
+def test_small_dimension_joins_are_broadcast(spark):
+    """Queries joining a small dim must plan a broadcast hash join —
+    shuffling the fact side on a dim key is the classic 100 TB mistake."""
+    for name in ("top_revenue_orders", "local_supplier_volume"):
+        plan = plan_str(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan[:2000]}"
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Equi-join queries must never degrade to cartesian/nested-loop.
+    (Intentional exceptions exist and are listed: 1-row scalar-subquery
+    broadcasts and the theta containment join, which is nested-loop by
+    definition but over broadcast-small sides.)"""
+    intentional = {
+        "parts_above_avg_price",  # 1-row mean broadcast (scalar subquery)
+        "tfidf_top_terms",  # 1-row corpus-size broadcast
+        "keyword_containment_join",  # theta join: BNLJ over small keyword side
+        "embedding_knn_query0",  # 1-query-vector broadcast
+        "embedding_pairwise_topk",  # bounded slice self-pairing
+    }
+    for name, q in REGISTRY.items():
+        if name in intentional:
+            continue
+        plan = plan_str(q.fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_aggregates_partially_combine_map_side(spark):
+    """groupBy aggregates must show partial (map-side) aggregation —
+    the shuffle should carry combined rows, not the raw scan."""
+    plan = plan_str(REGISTRY["pricing_summary"].fn(spark, SF_SMALL), "simple")
+    assert "partial_" in plan, plan
+
+
+def test_hot_path_stays_in_wholestage_codegen(spark):
+    """The flagship and the headline aggregate must run inside
+    whole-stage codegen spans. AQE only materializes the final plan at
+    execution, so run the (sf0.001-cheap) query first, then require
+    '*(n)' codegen markers in the final adaptive plan."""
+    for name in ("change_detection", "pricing_summary"):
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        df.collect()
+        plan = plan_str(df, "simple")
+        assert "isFinalPlan=true" in plan
+        assert "*(" in plan, f"{name} fell out of codegen:\n{plan[:1500]}"
+
+
+def test_anti_join_state_side_broadcasts_or_shuffles_on_key(spark):
+    """Flagship change detection: the anti join must be an equi join on
+    the composite key (hash-partitionable), never nested-loop."""
+    plan = plan_str(REGISTRY["change_detection"].fn(spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
