@@ -297,3 +297,18 @@ def test_approx_count_distinct_within_tolerance(spark):
         exact = r["exact_users"]
         assert exact > 0
         assert abs(r["approx_users"] - exact) <= max(1, 0.05 * exact)
+
+
+def test_seeded_sample_fraction_and_determinism(spark):
+    """sample(0.1, seed) must be reproducible under the same seed and
+    land within a loose tolerance of the nominal fraction."""
+    from webscrap_datapipeline_spark.catalog import load_table
+
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, "lineitem", SF_SMALL)
+    total = li.count()
+    a = li.sample(fraction=0.1, seed=42).count()
+    b = li.sample(fraction=0.1, seed=42).count()
+    assert a == b  # deterministic under fixed seed
+    assert 0.05 * total < a < 0.2 * total

@@ -120,3 +120,101 @@ def test_file_source_streams_new_reports(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["Ref Code"] == "00042"  # col 14 stays string
     assert "ALPHA_08132026" in rows[0]["src"]
+
+
+def test_stream_static_join_enriches_per_microbatch(spark, tmp_path):
+    from webscrap_datapipeline_spark.streaming.enrich import enrich_stream
+
+    src_dir = str(tmp_path / "ev")
+    _write_events_json(src_dir, ['{"loc": "A", "v": 1.0}', '{"loc": "Z", "v": 2.0}'])
+    dim = spark.createDataFrame([("A", "alpha"), ("B", "beta")], "loc string, loc_name string")
+    stream = spark.readStream.schema("loc string, v double").json(src_dir)
+    q = (
+        enrich_stream(stream, dim, on="loc")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["loc"], r["loc_name"]) for r in spark.sql("select * from enrich_test").collect()}
+    finally:
+        q.stop()
+    # matched rows enriched; unmatched survive with NULL (left outer)
+    assert rows == {("A", "alpha"), ("Z", None)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from webscrap_datapipeline_spark.streaming.enrich import dedup_stream
+
+    src_dir = str(tmp_path / "dups")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    _write_events_json(
+        src_dir,
+        [
+            '{"k": "A", "ts": "2024-01-01T00:00:00", "v": 1.0}',
+            '{"k": "A", "ts": "2024-01-01T00:01:00", "v": 2.0}',
+            '{"k": "B", "ts": "2024-01-01T00:02:00", "v": 3.0}',
+        ],
+    )
+    stream = spark.readStream.schema("k string, ts timestamp, v double").json(src_dir)
+    q = (
+        dedup_stream(stream, ["k"], ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate key in a later micro-batch, still inside the horizon
+        _write_events_json(src_dir, ['{"k": "A", "ts": "2024-01-01T00:03:00", "v": 9.0}'])
+        q.processAllAvailable()
+        ks = sorted(r["k"] for r in spark.sql("select * from dedup_test").collect())
+    finally:
+        q.stop()
+    assert ks == ["A", "B"]  # A emitted exactly once across micro-batches
+
+
+def test_foreachbatch_sink_commit_ordering_and_idempotence(spark, tmp_path):
+    from webscrap_datapipeline_spark.streaming.sinks import warehouse_append_sink
+
+    src_dir = str(tmp_path / "inflow")
+    ckpt = str(tmp_path / "ckpt_sink")
+    wh = str(tmp_path / "warehouse")
+    st = str(tmp_path / "state")
+    _write_events_json(
+        src_dir,
+        [
+            '{"key": "A", "ts": "2024-01-01T00:00:00", "v": 1.0}',
+            '{"key": "B", "ts": "2024-01-01T00:05:00", "v": 2.0}',
+        ],
+    )
+    sink = warehouse_append_sink(wh, st, key_col="key", ts_col="ts")
+    stream = spark.readStream.schema("key string, ts timestamp, v double").json(src_dir)
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    try:
+        q.processAllAvailable()
+        _write_events_json(src_dir, ['{"key": "A", "ts": "2024-01-01T01:00:00", "v": 5.0}'])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    wh_rows = spark.read.parquet(wh)
+    assert wh_rows.count() == 3
+    state = {
+        r["key"]: r["last_seen"]
+        for r in spark.read.parquet(os.path.join(st, "current")).collect()
+    }
+    assert state["A"] == dt.datetime(2024, 1, 1, 1, 0)  # advanced by batch 2
+    assert state["B"] == dt.datetime(2024, 1, 1, 0, 5)
+
+    # replaying a batch id must overwrite its own partition, not append
+    batch1 = spark.read.parquet(wh).filter(F.col("__batch_id") == 1)
+    n_before = batch1.count()
+    sink(spark.read.schema("key string, ts timestamp, v double").json(src_dir).filter(
+        F.col("key") == "A").filter(F.col("ts") > "2024-01-01T00:30:00"), 1)
+    assert spark.read.parquet(wh).filter(F.col("__batch_id") == 1).count() == n_before
+    assert spark.read.parquet(wh).count() == 3

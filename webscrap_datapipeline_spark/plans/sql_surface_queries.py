@@ -438,3 +438,101 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Date/time scalar family (SURVEY §2.7 F1/F2/F6/F7 widened: the reference
+# only parses one filename timestamp format; an analytics user needs the
+# full calendar toolbox)
+
+
+@query(
+    "date_functions_probe",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_ts,
+           CAST(date_diff('day', TIMESTAMP '1995-06-01', o_orderdate) AS INT) AS days_from_epoch_cut,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders WHERE o_orderkey % 499 = 0
+    """,
+    tags=("date", "functions"),
+)
+def date_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar family: trunc/extract/offset/diff/format.
+    Engine quirk pinned here: DuckDB `dayofweek` is 0=Sunday while
+    Spark `dayofweek` is 1=Sunday — the oracle shifts by one. All
+    JVM-side, codegen-friendly, no UDFs."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.filter(F.col("o_orderkey") % 499 == 0).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-06-01").cast("timestamp")
+        ).cast("int").alias("days_from_epoch_cut"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query(
+    "order_value_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS tier,
+           o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("case-when", "agg"),
+)
+def order_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding a grouped aggregate — the
+    conditional-column pattern the reference hand-rolled row-by-row
+    (reference src/process_files.py:26-28) in its set-based form."""
+    orders = load_table(spark, "orders", sf_dir)
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.withColumn("tier", tier)
+        .groupBy("tier", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@query(
+    "lineitem_sample_stats",
+    oracle=None,  # sampling is seeded-RNG-specific per engine by design;
+    # pytest pins the fraction tolerance and determinism under a fixed seed
+    tags=("sample", "rows-only"),
+)
+def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample (fraction=0.1, fixed seed) → grouped stats.
+    Sampling is THE first step of any 100 TB profiling pass: the scan
+    applies the coin-flip inside the reader, so downstream cost scales
+    with the fraction, not the table. Seeded for reproducibility within
+    Spark; cross-engine value parity is impossible by construction
+    (different RNG streams), hence rows-only."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
