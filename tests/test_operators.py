@@ -312,3 +312,47 @@ def test_seeded_sample_fraction_and_determinism(spark):
     b = li.sample(fraction=0.1, seed=42).count()
     assert a == b  # deterministic under fixed seed
     assert 0.05 * total < a < 0.2 * total
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """Salted two-phase aggregation must equal the plain groupBy on a
+    skewed input (one key holds ~90% of rows)."""
+    from webscrap_datapipeline_spark.operators.skew import salted_agg
+
+    rows = [("hot", i, float(i % 7)) for i in range(900)] + [
+        (f"k{i % 5}", i, float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, uid int, v double")
+    got = {
+        r["k"]: (r["count_v"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in salted_agg(
+            df, ["k"], [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")],
+            salt_from="uid", n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["c"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("c"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    from webscrap_datapipeline_spark.operators.skew import salted_join
+
+    left_rows = [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(20)]
+    right_rows = [("hot", "H"), ("k3", "T3"), ("k7", "T7"), ("absent", "X")]
+    left = spark.createDataFrame(left_rows, "k string, uid int")
+    right = spark.createDataFrame(right_rows, "k string, tag string")
+
+    got = sorted(
+        (r["k"], r["uid"], r["tag"])
+        for r in salted_join(left, right, on="k", salt_from="uid", n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["uid"], r["tag"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want and len(got) == 502

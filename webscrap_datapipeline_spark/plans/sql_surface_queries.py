@@ -536,3 +536,43 @@ def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Skew mitigation as a checked query (operators/skew.py)
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(value) AS count_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew", "agg"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the low-cardinality (hence
+    hot-keyed) event_type column — result must equal a plain GROUP BY,
+    which is exactly what the oracle asserts. Only decomposable
+    aggregates (count/min/max) so salting is value-exact; a salted
+    double-sum would reorder IEEE addition and is deliberately excluded
+    (registry determinism rules)."""
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, "events", sf_dir)
+    out = salted_agg(
+        events,
+        ["event_type"],
+        [("value", "count"), ("value", "min"), ("value", "max")],
+        salt_from="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "count_value",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
