@@ -356,3 +356,49 @@ def test_salted_join_matches_plain_join(spark):
         (r["k"], r["uid"], r["tag"]) for r in left.join(right, "k").collect()
     )
     assert got == want and len(got) == 502
+
+
+def test_multimodal_resize_rewrites_images_only(spark):
+    from webscrap_datapipeline_spark.operators.multimodal import (
+        fake_resizer,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"0123456789", {"mime": "image/png", "width": 100, "height": 80, "duration_ms": None}),
+        (2, "audio", b"abcdef", {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 5000}),
+    ]
+    from webscrap_datapipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 4, 2, resizer=fake_resizer).collect()}
+    img = out[1]
+    assert bytes(img["payload"]) == b"01234567"  # truncated to 4*2 bytes
+    assert img["meta"]["width"] == 4 and img["meta"]["height"] == 2
+    aud = out[2]
+    assert bytes(aud["payload"]) == b"abcdef"  # untouched
+    assert aud["meta"]["duration_ms"] == 5000
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    from webscrap_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        fake_frame_sampler,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "video", b"videopayloadbytes", {"mime": "video/mp4", "width": 640, "height": 480, "duration_ms": 3500}),
+        (2, "image", b"notavideo", {"mime": "image/png", "width": 10, "height": 10, "duration_ms": None}),
+        (3, "video", b"x", {"mime": "video/mp4", "width": 1, "height": 1, "duration_ms": 100000}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000, max_frames=5, sampler=fake_frame_sampler).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {1, 3}  # only videos fan out
+    assert len(by_media[1]) == 4  # 3500ms // 1000 + 1
+    assert [r["ts_ms"] for r in sorted(by_media[1], key=lambda r: r["frame_idx"])] == [0, 1000, 2000, 3000]
+    assert len(by_media[3]) == 5  # capped at max_frames
+    assert all(len(bytes(r["payload"])) <= 8 for r in frames)

@@ -121,3 +121,100 @@ def metadata_prune(media: DataFrame, min_width: int = 0, kinds: tuple[str, ...] 
     if min_width:
         out = out.filter(F.col("meta.width") >= min_width)
     return out
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def default_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Production resize hook — REPLACE via ``resizer=`` injection (no
+    image libs in this environment; fails loudly by contract)."""
+    raise NotImplementedError("no image resizer installed: inject resizer=...")
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: truncates/pads the payload to width*height
+    bytes — wrong as pixels, right as a testable byte-level contract."""
+    target = max(1, width * height)
+    return (payload or b"\x00")[:target].ljust(target, b"\x00")
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = default_resizer,
+) -> DataFrame:
+    """Resize every image payload via mapInPandas, rewriting the meta
+    struct to the new dimensions. Non-image rows pass through untouched
+    (kind-dispatch inside the batch, no second scan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized, metas = [], []
+            for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if k == "image":
+                    resized.append(resizer(bytes(p) if p is not None else b"", width, height))
+                    m = dict(m or {})
+                    m["width"], m["height"] = width, height
+                    metas.append(m)
+                else:
+                    resized.append(p)
+                    metas.append(m)
+            out["payload"], out["meta"] = resized, metas
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def default_frame_sampler(payload: bytes, ts_ms: int) -> bytes:
+    """Production video-frame extraction hook (ffmpeg-shaped). Stub."""
+    raise NotImplementedError("no video decoder installed: inject sampler=...")
+
+
+def fake_frame_sampler(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic stand-in: an 8-byte slice of the payload selected by
+    the timestamp — enough to verify fan-out shape and per-frame lineage."""
+    if not payload:
+        return b""
+    off = ts_ms % max(1, len(payload))
+    return (payload * 2)[off : off + 8]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 64,
+    sampler: Callable[[bytes, int], bytes] = default_frame_sampler,
+) -> DataFrame:
+    """1:N frame sampling over video rows: each input row yields
+    ``min(duration_ms // every_ms + 1, max_frames)`` frame rows via
+    mapInPandas (the UDTF shape — SURVEY §2.9 X5 — over binary media).
+    ``max_frames`` bounds the fan-out so one 10-hour video can't blow up
+    a task's output; lineage (media_id, frame_idx, ts_ms) rides along."""
+
+    vids = media.filter(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                duration = int((m or {}).get("duration_ms") or 0)
+                n = min(duration // every_ms + 1, max_frames)
+                raw = bytes(p) if p is not None else b""
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["payload"].append(sampler(raw, i * every_ms))
+            yield pd.DataFrame(rows)
+
+    return vids.mapInPandas(run, FRAME_SCHEMA)

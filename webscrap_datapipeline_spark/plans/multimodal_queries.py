@@ -84,3 +84,33 @@ def multimodal_feature_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.round(F.element_at("feature", 4), 1).alias("checksum_feature"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+        FROM documents
+        WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video'
+          AND doc_id < 300
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, least(duration_ms // 1000 + 1, 8))) AS INT) AS frame_idx,
+           CAST(unnest(range(0, least(duration_ms // 1000 + 1, 8))) * 1000 AS INT) AS ts_ms
+    FROM vids
+    """,
+    tags=("multimodal", "udtf", "frame-sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 frame/s, capped at 8): the 1:N mapInPandas
+    fan-out of operators/multimodal.sample_frames with the deterministic
+    fake sampler. The oracle independently recomputes the expected
+    (media_id, frame_idx, ts_ms) lattice from the metadata — verifying
+    the fan-out arithmetic and lineage columns; payload bytes are checked
+    in pytest (not SQL-expressible)."""
+    media = media_table(spark, sf_dir).filter(F.col("media_id") < 300)
+    frames = MM.sample_frames(
+        media, every_ms=1000, max_frames=8, sampler=MM.fake_frame_sampler
+    )
+    return frames.select("media_id", "frame_idx", "ts_ms")
