@@ -1,0 +1,89 @@
+"""K-means clustering over embedding columns — DataFrame-native Lloyd's
+iterations (the IVF coarse quantizer's training step, and the standard
+corpus-organization primitive for training-data pipelines).
+
+Spark-first shape (no RDDs, no ml-lib dependency):
+  * ASSIGN is a pure projection: squared-L2 distance to each of the k
+    centroids is an inlined arithmetic expression over the array column
+    (whole-stage codegen), argmin via array_min over (dist, cid) structs
+    — deterministic cid tiebreak;
+  * UPDATE is posexplode → groupBy(cluster, dim) avg — partial
+    aggregation combines map-side, so the shuffle is
+    O(k × dim × partitions), independent of row count;
+  * the k × dim centroid matrix (e.g. 10×64 doubles) is the ONLY thing
+    that ever reaches the driver, once per iteration — the same
+    communication pattern ml-lib uses, minus its RDD machinery.
+
+Determinism: init = the vectors of the k smallest ids (no RNG), fixed
+iteration count, and a cid tiebreak on equal distances — two runs on the
+same data produce identical assignments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add a ``cluster`` column: index of the nearest centroid (squared
+    L2; ties → lowest cluster id, numpy argmin's first-min rule).
+
+    Vectorized pandas_udf rather than codegen'd per-element expressions:
+    a k × dim distance matrix is dense linear algebra, where one BLAS-ish
+    numpy kernel per Arrow batch beats k inlined zip_with folds — and
+    re-JITing the k-expression tree every Lloyd's iteration is pure
+    overhead. The centroid matrix ships inside the UDF closure
+    (k × dim doubles — broadcast-sized by construction)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        # explicit (x-c)² — the expanded ‖x‖²-2x·c+‖c‖² form is faster but
+        # loses ulps that can flip argmin on near-ties; determinism wins.
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    iters: int = 8,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's algorithm: returns (centroids, assignments df with
+    ``cluster`` column). ``df`` is cached by the caller if it is
+    expensive to recompute — each iteration scans it once."""
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(iters):
+        assigned = _assign(df, vec_col, centroids)
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        centroids = [
+            [by_cluster[c][d] for d in sorted(by_cluster[c])]
+            if c in by_cluster
+            else centroids[c]
+            for c in range(k)
+        ]
+    return centroids, _assign(df, vec_col, centroids)

@@ -3,6 +3,7 @@ query module's entries into ``registry.REGISTRY``."""
 
 from __future__ import annotations
 
+from . import analytics_queries  # noqa: F401
 from . import core_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
 from . import sql_surface_queries  # noqa: F401

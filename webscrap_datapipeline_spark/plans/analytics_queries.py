@@ -1,0 +1,172 @@
+"""Deep multi-join analytics + CDC query surface.
+
+Extends the core relational layer (core_queries.py) with the join-heavy
+reporting shapes a warehouse actually runs — TPC-H Q10-style returned-
+item reporting, correlated-subquery filters — and the full snapshot-diff
+change feed built on ``operators/cdc.snapshot_diff`` (the complete form
+of the reference's change detection, which drops deletes:
+reference src/utils.py:159).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.cdc import snapshot_diff
+from .core_queries import dsum_expr
+from .registry import query
+
+# ----------------------------------------------------------------------------
+# TPC-H Q10 pattern: who returned merchandise, by customer, with nation.
+
+
+@query(
+    "returned_items_by_customer",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_name,
+        n_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+            AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue (TPC-H Q10 shape):
+    lineitem filtered to returns ⋈ orders ⋈ customer ⋈ nation.
+
+    Scale: the l_returnflag filter is pushed to the lineitem scan
+    (~25% selectivity); customer and nation broadcast; only
+    lineitem⋈orders shuffles. Top-k is TakeOrderedAndProject with a
+    c_custkey tiebreak — no total sort of the aggregate.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Correlated scalar subquery per group: each order vs ITS customer's average.
+# (core_queries.parts_above_avg_price covers the uncorrelated 1-row case.)
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH cavg AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o JOIN cavg c ON o.o_custkey = c.o_custkey
+    WHERE o.o_totalprice > 1.5 * c.avg_price
+    """,
+    tags=("join", "subquery", "correlated"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5× their own customer's average — the correlated
+    scalar subquery (`WHERE x > (SELECT avg(...) WHERE cust = outer.cust)`)
+    de-correlated into aggregate + equi-join, which is exactly the
+    rewrite Catalyst/DuckDB themselves perform.
+
+    Scale: one shuffle on o_custkey for the aggregate; the order→avg
+    join reuses that same key, so AQE plans it shuffle-free against the
+    agg output. Average = exact decimal sum / count (one IEEE division
+    on both engines) so the >1.5× predicate selects identical rows; the
+    computed average itself is not surfaced (double→decimal half-way
+    rounding differs between engines at the last digit).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cavg = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(cavg, orders.o_custkey == cavg.ck)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Snapshot-diff CDC over simulated old/new snapshots of orders.
+# Old snapshot: keys ≡0 mod 17 missing (→ insert in new), totalprice off by
+# +1 for keys ≡0 mod 5 (→ update). New snapshot: keys ≡0 mod 23 removed
+# (→ delete). Everything else → unchanged (filtered out of the feed).
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 17 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 23 <> 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                ELSE o.o_totalprice END AS o_totalprice,
+           CASE
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               ELSE 'update'
+           END AS _change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+    tags=("cdc", "full-outer", "incremental"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full change feed (insert/update/delete) between two snapshots of
+    orders — ``operators/cdc.snapshot_diff``, the complete form of the
+    reference's change detection (which keeps only changed/new keys and
+    silently drops deletes, reference src/utils.py:159).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    old = orders.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new = orders.filter(F.col("o_orderkey") % 23 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    feed = snapshot_diff(old, new, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"])
+    return feed.filter(F.col("_change_type") != "unchanged").select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )

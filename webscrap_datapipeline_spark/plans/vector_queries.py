@@ -240,3 +240,38 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
     ).orderBy("query_id", "rnk")
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=None,  # iterative algorithm — not SQL-expressible; pytest pins
+    # determinism, monotone objective decrease, and exact recovery of
+    # well-separated synthetic clusters.
+    tags=("clustering", "kmeans", "iterative", "rows-only"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=10, 6 Lloyd's iterations, deterministic lowest-id
+    init) over the embedding corpus — operators/clustering.kmeans_fit.
+    Returns per-cluster size and the count of distinct planted labels
+    inside each cluster (1 = pure recovery). Each iteration is one scan:
+    assignment is codegen'd arithmetic, the centroid update shuffles only
+    O(k x dim x partitions) partially-aggregated rows."""
+    from ..operators.clustering import kmeans_fit
+
+    # Keep the scan's natural partitioning: an iterative loop pays every
+    # per-partition overhead ×iters, so forcing local[32]-width on a
+    # small corpus multiplies Python-worker and shuffle latency for
+    # nothing. At real scale the parquet layout already provides width.
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label").cache()
+    try:
+        _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=6)
+        return (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.countDistinct("label").alias("n_labels"),
+            )
+            .orderBy("cluster")
+        )
+    finally:
+        emb.unpersist()
