@@ -164,3 +164,20 @@ def test_bucketed_groupby_elides_exchange(spark, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders2")
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-style partitionBy layout must turn an equality filter on the
+    partition column into PartitionFilters at the scan — reading 1/Nth
+    of the files, which at 100 TB is the difference between a query and
+    a full-table scan."""
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, "events", SF_SMALL)
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = plan_str(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf and "click" in pf, plan
+    # the pruned read returns exactly the partition's rows
+    want = events.filter(F.col("event_type") == "click").count()
+    assert df.count() == want and want > 0

@@ -218,3 +218,55 @@ def test_foreachbatch_sink_commit_ordering_and_idempotence(spark, tmp_path):
         F.col("key") == "A").filter(F.col("ts") > "2024-01-01T00:30:00"), 1)
     assert spark.read.parquet(wh).filter(F.col("__batch_id") == 1).count() == n_before
     assert spark.read.parquet(wh).count() == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from webscrap_datapipeline_spark.streaming.enrich import interval_join_streams
+
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    _write_events_json(
+        clicks_dir,
+        [
+            '{"user_id": 1, "click_ts": "2024-01-01T00:10:00", "click_id": "c1"}',
+            '{"user_id": 2, "click_ts": "2024-01-01T00:30:00", "click_id": "c2"}',
+            '{"user_id": 1, "click_ts": "2024-01-01T01:00:00", "click_id": "c3"}',
+        ],
+    )
+    _write_events_json(
+        views_dir,
+        [
+            '{"user_id": 1, "view_ts": "2024-01-01T00:05:00", "view_id": "v1"}',
+            '{"user_id": 1, "view_ts": "2024-01-01T00:25:00", "view_id": "v2"}',
+            '{"user_id": 2, "view_ts": "2024-01-01T00:29:00", "view_id": "v3"}',
+            '{"user_id": 1, "view_ts": "2024-01-01T02:00:00", "view_id": "v4"}',
+        ],
+    )
+    cs = "user_id int, click_ts timestamp, click_id string"
+    vs = "user_id int, view_ts timestamp, view_id string"
+    joined = interval_join_streams(
+        spark.readStream.schema(cs).json(clicks_dir),
+        spark.readStream.schema(vs).json(views_dir),
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        within="10 minutes",
+    )
+    q = (
+        joined.select("click_id", "view_id")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["view_id"])
+            for r in spark.sql("select * from ssj_test").collect()
+        }
+    finally:
+        q.stop()
+    # c1 (00:10) matches v1 (00:05, -5m); c2 (00:30) matches v3 (00:29);
+    # v2 (00:25) is 15m from c1 and 35m from c3 -> no match; v4 is 60m
+    # from c3 -> no match.
+    assert got == {("c1", "v1"), ("c2", "v3")}

@@ -100,12 +100,13 @@ def jaccard_pairs(
     boilerplate shingles ("click here to" in 10M docs would alone
     generate 10M² pairs). At 100 TB this cap is mandatory.
     """
-    from ..functions.text import word_hash64
-
     base = shingled(df, text_col, id_col, n)
+    # xxhash64, not word_hash64/md5: the hash is ONLY an internal shuffle
+    # key here (never compared against an oracle), so the JVM-intrinsic
+    # hash wins over md5's hex-string detour.
     idx = base.select(
         F.col("doc"), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
-    ).select(word_hash64(F.col("shingle")).alias("h"), F.struct("doc", "sz").alias("ds"))
+    ).select(F.xxhash64(F.col("shingle")).alias("h"), F.struct("doc", "sz").alias("ds"))
     posting = (
         idx.groupBy("h")
         .agg(F.array_sort(F.collect_set("ds")).alias("docs"))

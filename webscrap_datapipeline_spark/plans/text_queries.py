@@ -408,3 +408,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
         .select("doc_id", "token", F.round("__s", 6).alias("tfidf"), "rnk")
     )
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS words
+      FROM documents WHERE doc_id < 200
+    ), k AS (
+      SELECT doc_id, words, len(words) AS n,
+             CASE WHEN len(words) <= 20 THEN 0
+                  ELSE CAST(ceil((len(words) - 20) / 15.0) AS BIGINT) END AS kmax
+      FROM raw WHERE len(words) > 0
+    ), idx AS (
+      SELECT doc_id, words, n, unnest(range(0, kmax + 1)) AS i FROM k
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(
+             list_slice(words, CAST(i * 15 + 1 AS INT), CAST(least(i * 15 + 20, n) AS INT)),
+             ' '
+           ) AS chunk,
+           CAST(least(i * 15 + 20, n) - i * 15 AS INT) AS n_words
+    FROM idx
+    """,
+    tags=("text", "udtf", "lateral", "chunking"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (20-word chunks, 5-word overlap) through a
+    Python UDTF (operators/udtf_ops.DocumentChunker) applied as a SQL
+    LATERAL generator — the 1:N table-function shape (SURVEY §2.9 X5)
+    with imperative per-row logic, Arrow-batched. Bounded to 200 docs:
+    row-at-a-time Python is the slow path by design; the set-based 1:N
+    surface is word_explode_topk."""
+    from ..operators.udtf_ops import DocumentChunker
+
+    spark.udtf.register("doc_chunker", DocumentChunker)
+    load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM __udtf_docs d, LATERAL doc_chunker(d.text) c
+        """
+    )

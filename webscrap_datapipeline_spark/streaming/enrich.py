@@ -39,3 +39,35 @@ def dedup_stream(
     stream lifetime — the difference between a pipeline that runs for a
     day and one that runs forever."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Stream⋈stream inner join on ``key`` where the right event lands
+    within ``±within`` of the left event (click↔impression attribution,
+    request↔response pairing).
+
+    Both sides carry watermarks and the join condition bounds the time
+    difference in BOTH directions — that pair of constraints is what
+    lets Spark compute, per side, how long a row can still find a match,
+    and evict join state past that horizon. Without the time bound the
+    state grows with the full stream history; with it, state is
+    O(rate × (watermark + within)) regardless of stream lifetime.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {within} "
+            f"AND l.{left_ts} + INTERVAL {within}"
+        ),
+    )
