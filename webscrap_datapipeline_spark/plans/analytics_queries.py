@@ -170,3 +170,71 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.filter(F.col("_change_type") != "unchanged").select(
         "o_orderkey", "o_totalprice", "_change_type"
     )
+
+
+# ----------------------------------------------------------------------------
+# One-pass data profiling — the "what's in this table?" operator every
+# ingestion pipeline runs before training on a new source.
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+]
+
+
+@query(
+    "profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           (SELECT {expr} FROM orders
+            WHERE {c} = (SELECT min({c}) FROM orders) LIMIT 1) AS min_value,
+           (SELECT {expr} FROM orders
+            WHERE {c} = (SELECT max({c}) FROM orders) LIMIT 1) AS max_value
+    FROM orders
+    """
+        for c, expr in _PROFILE_COLS
+    ),
+    tags=("profiling", "quality", "unpivot"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders — null count, exact distinct count, and
+    stringified min/max per column — computed in ONE scan (a single
+    wide aggregate unpivoted with ``stack``), versus the naive
+    N-queries-per-table profiler that rescans per column. The
+    multi-count-distinct plans as one Expand pass, still a single scan.
+
+    Numeric min/max are surfaced through DECIMAL→string (portable
+    formatting); timestamps through an explicit date_format — raw
+    double→string differs between engines, a profiling-specific lesson
+    encoded here.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    fmt = {
+        "o_orderkey": lambda col: col.cast("string"),
+        "o_custkey": lambda col: col.cast("string"),
+        "o_totalprice": lambda col: col.cast("decimal(18,2)").cast("string"),
+        "o_orderstatus": lambda col: col,
+        "o_orderpriority": lambda col: col,
+        "o_orderdate": lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss"),
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, _ in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nnn_{c}"))  # non-null count
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        aggs.append(fmt[c](F.min(c).alias(c)).alias(f"mn_{c}"))
+        aggs.append(fmt[c](F.max(c).alias(c)).alias(f"mx_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - nnn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -292,3 +292,61 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.9), 6).alias("p90"),
         F.round(F.percentile("value", 0.99), 6).alias("p99"),
     )
+
+
+@query(
+    "daily_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), days AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT d.user_id, d.day, dl.day_value,
+           last_value(dl.day_value IGNORE NULLS) OVER (
+             PARTITION BY d.user_id ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM days d LEFT JOIN daily dl ON d.user_id = dl.user_id AND d.day = dl.day
+    """,
+    tags=("temporal", "gap-fill", "resample", "window"),
+)
+def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per-user daily totals on a
+    dense calendar (sequence+explode generates missing days), carry-
+    forward imputation via last(ignorenulls) over an ordered window.
+    The standard sensor/feed densification op.
+
+    Scale: the dense calendar is generated per user from its own bounds
+    (no global cross join); the left join and the window share the
+    user_id partitioning, so the whole densify+fill is one shuffle.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value"))
+    days = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    joined = days.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
