@@ -519,3 +519,63 @@ def test_kmeans_objective_decreases_and_is_deterministic(spark):
         assert c1 == c1b  # deterministic
     finally:
         emb.unpersist()
+
+
+def test_merge_agg_state_equals_full_recompute(spark):
+    from webscrap_datapipeline_spark.operators.incremental import merge_agg_state
+
+    rows = [(i % 7, float(i), 1, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double, one int, seq int")
+    from pyspark.sql import functions as F
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+            F.count("*").alias("n"),
+            F.min("seq").alias("mn"),
+            F.max("seq").alias("mx"),
+        )
+
+    state = partial(df.filter(F.col("seq") < 80))
+    delta = partial(df.filter(F.col("seq") >= 80))
+    merged = merge_agg_state(
+        state, delta, ["k"], {"sv": "sum", "n": "count", "mn": "min", "mx": "max"}
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in partial(df).collect())
+    assert got == want
+
+
+def test_merge_agg_state_key_only_in_delta(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.incremental import merge_agg_state
+
+    state = spark.createDataFrame([(1, 10, 2, 0, 5)], "k int, sv long, n long, mn long, mx long")
+    delta = spark.createDataFrame([(2, 7, 1, 3, 3)], "k int, sv long, n long, mn long, mx long")
+    got = {
+        r["k"]: (r["sv"], r["n"], r["mn"], r["mx"])
+        for r in merge_agg_state(
+            state, delta, ["k"], {"sv": "sum", "n": "count", "mn": "min", "mx": "max"}
+        ).collect()
+    }
+    assert got == {1: (10, 2, 0, 5), 2: (7, 1, 3, 3)}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from webscrap_datapipeline_spark.operators.maintenance import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+    import glob
+
+    n_in = len(glob.glob(src + "/*.parquet"))
+    assert n_in == 40
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024)
+    assert 1 <= n_out < n_in
+    out = spark.read.parquet(dst)
+    assert out.count() == 10000
+    assert out.selectExpr("sum(v) as s").collect()[0]["s"] == df.selectExpr(
+        "sum(v) as s"
+    ).collect()[0]["s"]

@@ -238,3 +238,140 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# ----------------------------------------------------------------------------
+# Incremental aggregate maintenance: fold a delta batch's partials into
+# stored per-key aggregate state; oracle = recompute from scratch.
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("incremental", "state", "agg"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-user aggregates kept as state,
+    a new batch (the last ~20% of events) folded in via
+    ``operators/incremental.merge_agg_state`` — and the merged result
+    must equal a from-scratch aggregation (the oracle recomputes over
+    ALL events). Sums stay DECIMAL through the merge so the fold is
+    order-independent; the final cast to double happens once.
+
+    This is the scalable form of the reference's hourly incremental run
+    (only changed keys touch the warehouse): the merge join is
+    aggregate-sized, never fact-sized.
+    """
+    from ..operators.incremental import merge_agg_state
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = partial(ev.filter(F.col("event_id") % 10 < 8))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = merge_agg_state(
+        state,
+        delta,
+        keys=["user_id"],
+        agg_cols={
+            "total_value": "sum",
+            "n_events": "count",
+            "first_ts": "min",
+            "last_ts": "max",
+        },
+    )
+    return merged.select(
+        "user_id",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events",
+        "first_ts",
+        "last_ts",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Pure-SQL front door: the same engine through spark.sql — proving a
+# reference user can bring SQL text, not just DataFrame code. Also the
+# per-group top-k shape (row_number <= k per partition).
+
+
+_TOP3_SQL = """
+    WITH cust_orders AS (
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn
+    FROM cust_orders WHERE rn <= 3
+"""
+
+
+@query(
+    "sql_top3_orders_per_customer",
+    oracle=_TOP3_SQL,
+    tags=("sql-front-door", "window", "topk-per-group"),
+)
+def sql_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer, submitted as SQL TEXT through
+    ``spark.sql`` over catalog temp views — the identical string runs on
+    DuckDB as the oracle. Per-group top-k via row_number with a total-
+    order tiebreak; Catalyst turns the rn<=3 filter into a per-partition
+    WindowGroupLimit (top-k pushdown), never a full materialization."""
+    from ..catalog import load_table as _lt
+
+    for t in ("customer", "orders"):
+        _lt(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_TOP3_SQL)
+
+
+# ----------------------------------------------------------------------------
+# Null-safe arithmetic (ANSI mode without the crashes): try_divide &
+# try_cast over expressions that genuinely hit the error cases.
+
+
+@query(
+    "null_safe_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 5) END AS price_per_bucket,
+           TRY_CAST(o_orderpriority AS INTEGER) AS priority_as_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_digit
+    FROM orders
+    """,
+    tags=("functions", "ansi", "null-safe"),
+)
+def null_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: this engine runs with
+    spark.sql.ansi.enabled (division by zero is an ERROR, as on any SQL
+    warehouse) — try_divide/try_cast are the per-row escape hatch that
+    turns dirty rows into NULLs instead of killing a 100 TB job at hour
+    9. Exercised against real error cases: every 5th key divides by
+    zero; 'N-PRIORITY' strings fail the int cast (NULL), their leading
+    digit succeeds."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5).alias(
+            "price_per_bucket"
+        ),
+        F.col("o_orderpriority").try_cast("int").alias("priority_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_digit"),
+    )
