@@ -75,3 +75,47 @@ def test_change_detection_invariants(spark, src, state):
     second = detect_changes(src_df, committed, "hotel_cd", "lst_optimization").collect()
     multi_ts = {k for (k, t) in src if len({t2 for (k2, t2) in src if k2 == k}) > 1}
     assert {r["hotel_cd"] for r in second} <= multi_ts
+
+
+# ---------------------------------------------------------------------------
+# CDC round-trip: apply(old, diff(old, new)) == new, for arbitrary
+# snapshots including NULL values and disjoint/overlapping key sets.
+
+_SNAP = st.dictionaries(
+    st.integers(min_value=0, max_value=12),
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    max_size=10,
+)
+
+
+def _snap_df(spark, snap):
+    schema = "k int, v int, tag string"
+    rows = [(k, v, t) for k, (v, t) in snap.items()]
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+@given(old=_SNAP, new=_SNAP)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_cdc_diff_apply_roundtrip(spark, old, new):
+    from webscrap_datapipeline_spark.operators.cdc import (
+        apply_change_feed,
+        snapshot_diff,
+    )
+
+    old_df, new_df = _snap_df(spark, old), _snap_df(spark, new)
+    feed = snapshot_diff(old_df, new_df, keys=["k"])
+    rebuilt = apply_change_feed(old_df, feed, keys=["k"])
+    got = sorted((tuple(r) for r in rebuilt.collect()), key=repr)
+    want = sorted(((k, v, t) for k, (v, t) in new.items()), key=repr)
+    assert got == want
+    # the feed's class counts are exactly the set-theoretic ones
+    classes = {r["k"]: r["_change_type"] for r in feed.collect()}
+    assert {k for k, c in classes.items() if c == "insert"} == set(new) - set(old)
+    assert {k for k, c in classes.items() if c == "delete"} == set(old) - set(new)

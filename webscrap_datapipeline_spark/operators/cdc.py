@@ -100,3 +100,44 @@ def snapshot_diff(
         for c in compare_cols
     ]
     return joined.select(*out_keys, *out_vals, change.alias("_change_type"))
+
+
+def apply_change_feed(state: DataFrame, feed: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE-apply: fold a snapshot_diff change feed into ``state``,
+    producing the new snapshot. Deletes drop the key, inserts/updates
+    take the feed's row, unchanged keys keep the state row — the
+    plain-Spark equivalent of Delta's
+    ``MERGE ... WHEN MATCHED UPDATE / DELETE WHEN NOT MATCHED INSERT``,
+    as a deterministic full-outer overwrite (SURVEY §4.3.3).
+
+    Invariant (property-tested): for any old, new:
+    ``apply_change_feed(old, snapshot_diff(old, new), keys) == new``.
+
+    Scale: one shuffle on the keys, feed-sized state churn only when
+    bucketed layouts co-locate both sides (operators/bucketing.py).
+    """
+    val_cols = [c for c in state.columns if c not in keys]
+    s = state.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in val_cols],
+    )
+    f = feed.select(
+        *[F.col(k).alias(f"__fk_{k}") for k in keys],
+        *[F.col(c).alias(f"__f_{c}") for c in val_cols],
+        F.col("_change_type").alias("__ct"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__sk_{k}") == F.col(f"__fk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = s.join(f, cond, "full_outer")
+    in_feed = F.col("__ct").isNotNull()
+    keep = ~in_feed | (F.col("__ct") != "delete")
+    out_keys = [
+        F.coalesce(F.col(f"__fk_{k}"), F.col(f"__sk_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(in_feed, F.col(f"__f_{c}")).otherwise(F.col(f"__s_{c}")).alias(c)
+        for c in val_cols
+    ]
+    return j.filter(keep).select(*out_keys, *out_vals)

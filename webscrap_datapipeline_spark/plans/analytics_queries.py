@@ -375,3 +375,94 @@ def null_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("int").alias("priority_as_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_digit"),
     )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a join aggregate (large-volume orders).
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "agg", "having", "topk"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (TPC-H Q18
+    shape): join-aggregate + HAVING + top-k. The HAVING predicate
+    compares the exact decimal sum, so both engines keep identical rows;
+    the surfaced double is cast once from that same exact value.
+
+    Scale: quantity partially aggregates map-side per order before the
+    shuffle; customer broadcasts onto the aggregate (order-grain, small),
+    not onto lineitem."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 120)
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated equality-on-aggregate subquery (the
+# min-per-group witness rows).
+
+
+@query(
+    "poorest_supplier_per_nation",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (
+        SELECT min(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    """,
+    tags=("join", "subquery", "correlated", "witness"),
+)
+def poorest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) holding each nation's minimum account balance —
+    TPC-H Q2's correlated `= (SELECT min ...)` witness pattern,
+    de-correlated into a per-nation min + equi-join. Equality is on the
+    stored double itself (no arithmetic), so Spark and the oracle select
+    identical witnesses, including ties."""
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    mins = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supp.join(
+            F.broadcast(mins),
+            (F.col("s_nationkey") == F.col("nk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
