@@ -576,3 +576,30 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@query(
+    "map_functions_probe",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           array_to_string(json_keys(props), ',') AS key_list
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("map", "json", "functions"),
+)
+def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into a real
+    map<string,int> (`from_json`), then element_at / size / map_keys —
+    the typed-map path, versus json_props_extract's per-path string
+    extraction. All JVM-side; the map never leaves codegen."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    mp = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(mp, "k").alias("k_val"),
+        F.size(mp).cast("int").alias("n_keys"),
+        F.concat_ws(",", F.map_keys(mp)).alias("key_list"),
+    )
