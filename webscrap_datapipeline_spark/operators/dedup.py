@@ -207,11 +207,15 @@ def minhash_signatures(
     through two groupBys; at 100 TB that shuffle dwarfs the hash work).
     """
     base = shingled(df, text_col, id_col, n)
+    # Base hash = xxhash64 masked to 32 bits: JVM-intrinsic (no md5 hex
+    # detour), still < 2^32 so the affine permutations can't overflow a
+    # signed long under ANSI mode. Signatures never face a SQL oracle
+    # (LSH recall is pinned in pytest), so portability doesn't apply.
     hashed = base.select(
         "doc",
         F.transform(
             F.col("sh"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
         ).alias("__hs"),
     )
     def _perm(a: int, b: int):
