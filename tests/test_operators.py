@@ -579,3 +579,79 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert out.selectExpr("sum(v) as s").collect()[0]["s"] == df.selectExpr(
         "sum(v) as s"
     ).collect()[0]["s"]
+
+
+def test_payload_sizes_arrow_matches_jvm_length(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        payload_sizes_arrow,
+    )
+
+    rows = [
+        (1, "image", b"abc", {"mime": "image/png", "width": 1, "height": 1, "duration_ms": None}),
+        (2, "image", b"defgh", {"mime": "image/png", "width": 1, "height": 1, "duration_ms": None}),
+        (3, "audio", b"xy", {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 9}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["kind"]: (r["total_bytes"], r["n_items"]) for r in payload_sizes_arrow(media).collect()}
+    want = {
+        r["kind"]: (r["t"], r["n"])
+        for r in media.groupBy("kind")
+        .agg(F.sum(F.length("payload")).alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want == {"image": (8, 2), "audio": (2, 1)}
+
+
+def test_observation_metrics_on_enrich_plan(spark):
+    """The reference's run-level audit log (ST5) as engine-native
+    Observation metrics: row counts and value sums collected DURING the
+    action, zero extra scans."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+
+    obs = Observation("audit")
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_values"),
+    )
+    n = observed.filter(F.col("value") > 0).count()
+    m = obs.get
+    assert m["n_rows"] >= n and m["n_rows"] == ev.count()
+    assert m["null_values"] == 0
+    assert float(m["total_value"]) > 0
+
+
+def test_approx_percentiles_within_one_percent_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in REGISTRY["approx_value_percentiles"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in load_table(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in approx:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= max(0.01 * abs(e), 0.01), (k, a, e)

@@ -218,3 +218,32 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return vids.mapInPandas(run, FRAME_SCHEMA)
+
+
+def payload_sizes_arrow(media: DataFrame) -> DataFrame:
+    """Per-kind payload byte totals computed through ``mapInArrow`` —
+    the zero-copy sibling of mapInPandas: batches arrive as
+    ``pyarrow.RecordBatch`` with the binary payload column as an Arrow
+    Binary array, never materialized into Python bytes objects unless
+    touched. For pure metadata/size passes over huge blobs this skips
+    the pandas conversion entirely (no per-row object allocation).
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "kind": batch.column(batch.schema.get_field_index("kind")),
+                    # Arrow computes value lengths without copying payloads
+                    "n_bytes": pa.compute.binary_length(
+                        batch.column(batch.schema.get_field_index("payload"))
+                    ).cast(pa.int64()),
+                }
+            )
+            yield from tbl.to_batches()
+
+    out = media.mapInArrow(run, "kind string, n_bytes long")
+    return out.groupBy("kind").agg(
+        F.sum("n_bytes").alias("total_bytes"), F.count(F.lit(1)).alias("n_items")
+    )

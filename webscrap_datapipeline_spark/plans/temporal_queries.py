@@ -350,3 +350,27 @@ def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "approx_value_percentiles",
+    oracle=None,  # sketch output: deterministic for fixed input but not
+    # portable across engines (DuckDB's approx_quantile is t-digest,
+    # Spark's is Greenwald-Khanna); pytest pins <=1% error vs exact.
+    tags=("agg", "sketch", "percentile", "rows-only"),
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) per event type — the 100 TB
+    percentile path. The exact twin (value_percentiles_by_type) needs a
+    full sort per group; the sketch is one pass, mergeable map-side, and
+    bounded-memory (accuracy parameter = 1/eps), which is why it is the
+    only formulation that survives a 10^12-row group."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_p")
+    ).select(
+        "event_type",
+        F.col("approx_p")[0].alias("p50"),
+        F.col("approx_p")[1].alias("p90"),
+        F.col("approx_p")[2].alias("p99"),
+    )
