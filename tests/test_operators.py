@@ -655,3 +655,38 @@ def test_approx_percentiles_within_one_percent_of_exact(spark):
     for k in approx:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) <= max(0.01 * abs(e), 0.01), (k, a, e)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-vertex path (1-2, 2-3, 3-4) is ONE component even though 1
+    and 4 never share an edge — transitivity is the whole point vs
+    pairwise dedup. Separate edge (10-11) stays its own component."""
+    from webscrap_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors_keeps_min_and_unpaired(spark):
+    from webscrap_datapipeline_spark.operators.components import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(docs, pairs, "doc_id", "doc_a", "doc_b").collect()
+    )
+    # cluster {1,2,3} -> keep 1; {10,11} -> keep 10; 4 and 99 unpaired -> kept
+    assert kept == [1, 4, 10, 99]

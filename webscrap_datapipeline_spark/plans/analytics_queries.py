@@ -466,3 +466,236 @@ def poorest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
     )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join aggregated by category (order-priority
+# checking — how many orders of each priority had at least one late line).
+
+
+@query(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("semi-join", "exists", "agg"),
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped after the order date,
+    counted per priority (TPC-H Q4 shape). The EXISTS becomes a
+    left-semi join — each order emitted at most once regardless of how
+    many qualifying lines it has, so no pre-distinct on lineitem is
+    needed. Scale: the semi join shuffles both sides on orderkey once;
+    the count then partially aggregates map-side over ~5 priorities."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    qualifying = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return qualifying.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional two-way counting (CASE inside SUM) over a
+# join — "of the late-shipped lines per return flag, how many came from
+# critical-priority orders vs the rest".
+
+
+@query(
+    "late_lines_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "conditional-agg"),
+)
+def late_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's signature move: the pivot-by-predicate (SUM of CASE)
+    that splits one pass into two counters — no second scan, no second
+    join. The >60-day lateness predicate is a join-level condition, so
+    it filters during the join, before the aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q14 shape: ratio of a conditional sum to the total sum (promo
+# revenue share per month).
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+               ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+                    AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    tags=("join", "conditional-agg", "ratio"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo parts' share of monthly revenue (TPC-H Q14 shape) — the
+    ratio-of-conditional-sums aggregate. Both numerator and denominator
+    accumulate as exact DECIMAL (order-independent), and the division
+    happens once per group on the exact values; only the final ratio is
+    surfaced as double. Scale: part is the small side — broadcast — so
+    lineitem never shuffles before the aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    zero = F.lit(0).cast("decimal(24,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    # Both sums are exact decimals; cast each to double FIRST and divide in
+    # IEEE double with identical association on both engines — dividing the
+    # decimals directly hits Spark-vs-DuckDB decimal-division scale rules
+    # and mismatches in the last ulp.
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive brackets (OR of ANDs) as a
+# join + filter — the predicate-pushdown stress test.
+
+
+@query(
+    "bracketed_part_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+               AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "disjunctive-predicate"),
+)
+def bracketed_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over three alternative (brand, size, quantity) brackets —
+    TPC-H Q19's OR-of-ANDs. Expressed as one filter over the join so
+    Catalyst can split the disjunction: the part-only conjuncts
+    (brand+size per bracket) are pushed below the join to the part scan,
+    and the quantity bounds to the lineitem scan, leaving only the
+    cross-bracket residual at the join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    q = F.col("l_quantity")
+
+    def bracket(brand: str, slo: int, shi: int, qlo: int, qhi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & q.between(qlo, qhi)
+        )
+
+    cond = (
+        bracket("Brand#1", 1, 15, 1, 20)
+        | bracket("Brand#2", 10, 30, 10, 35)
+        | bracket("Brand#7", 20, 50, 20, 50)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            dsum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q22 shape: anti join + uncorrelated scalar-subquery threshold
+# (rich customers who never ordered).
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-09-01'
+    )
+    GROUP BY c_mktsegment
+    """,
+    tags=("anti-join", "scalar-subquery", "agg"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no *recent* orders (none
+    since 2000-09-01), rolled up by market segment (TPC-H Q22 shape):
+    an uncorrelated scalar subquery (the global average — one row,
+    broadcast as a literal-like cross join) feeding an anti join whose
+    right side is pre-filtered to the recent window, so the date
+    predicate pushes to the orders scan. AVG is computed on the stored
+    doubles in both engines (it is compared against, never surfaced);
+    the surfaced SUM takes the DECIMAL detour."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-09-01").cast("timestamp"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

@@ -455,3 +455,136 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL doc_chunker(d.text) c
         """
     )
+
+
+# ----------------------------------------------------------------------------
+# Dedup survivor selection: near-dup pairs → connected components →
+# one canonical doc per duplicate cluster. Oracle = recursive-CTE label
+# propagation (exact same min-reachable-id semantics).
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS.format(c="text")}) - 2, 0) + 1),
+               i -> array_to_string(list_slice({_TOKENS.format(c="text")}, i, i + 2), ' ')
+             ))) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+    ), sym AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ), reach(v, l) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.l FROM sym s JOIN reach r ON s.a = r.v
+    ), comp AS (
+      SELECT v, MIN(l) AS component FROM reach GROUP BY v
+    )
+    SELECT component, COUNT(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster discovery end-to-end: exact Jaccard pair mining
+    (threshold 0.5) feeds hash-min connected components
+    (operators/components.py); each component is one duplicate cluster,
+    keyed by its minimum doc_id (the survivor
+    ``operators/components.dedup_survivors`` would keep). The DuckDB
+    oracle replays the same semantics as a recursive-CTE reachability
+    fixpoint — a full value check on an iterative graph algorithm."""
+    from ..operators.components import connected_components
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    edges = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=None).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# ----------------------------------------------------------------------------
+# SimHash near-dup pairs via bit-banding — the hamming-space sibling of
+# MinHash-LSH: d <= 8 bit flips cannot touch all 9 disjoint 7-bit bands
+# (pigeonhole), so band-equality buckets have perfect recall at the
+# threshold and the exact hamming check runs only inside buckets.
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id AS doc, unnest({_TOKENS.format(c="text")}) AS w
+      FROM documents WHERE doc_id < 100
+    ), hashed AS (
+      SELECT doc, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+    ), bitrows AS (
+      SELECT doc, bit,
+             CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM hashed, unnest(range(0, 63)) AS t(bit)
+    ), bitsum AS (
+      SELECT doc, bit, SUM(sgn) AS s FROM bitrows GROUP BY doc, bit
+    ), sh AS (
+      SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    tags=("dedup", "sketch", "lsh"),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (hamming <= 8 over 63-bit signatures, first 100
+    docs — same corpus slice as simhash_documents). Scale path: each
+    signature emits 9 (band_idx, 7-bit band_value) keys; candidate pairs
+    come from band-bucket equality (equi-join, never n² over docs), then
+    the exact popcount(xor) filter. The brute-force oracle checks both
+    the banding's recall (pigeonhole: it must be perfect at d <= 8) and
+    the hamming arithmetic."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    sh = DD.simhash(docs, "text", "doc_id")  # (doc, simhash)
+    banded = sh.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 7 * i).bitwiseAND(F.lit(127))
+                    for i in range(9)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .distinct()
+    )
+    return cand

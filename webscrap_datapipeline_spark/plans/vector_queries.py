@@ -265,7 +265,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label").cache()
     try:
         _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=6)
-        return (
+        out = (
             assigned.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n_members"),
@@ -273,5 +273,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("cluster")
         )
+        # Materialize the k-row result NOW, while emb is still cached —
+        # returning the lazy plan and unpersisting in `finally` would
+        # evict the cache before the caller's action runs, forcing the
+        # final aggregation back to a cold parquet scan.
+        return out.localCheckpoint(eager=True)
     finally:
         emb.unpersist()
