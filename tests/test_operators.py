@@ -690,3 +690,46 @@ def test_dedup_survivors_keeps_min_and_unpaired(spark):
     )
     # cluster {1,2,3} -> keep 1; {10,11} -> keep 10; 4 and 99 unpaired -> kept
     assert kept == [1, 4, 10, 99]
+
+
+def test_orc_sink_source_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively (no
+    external package): write partitioned, read back with predicate
+    pushdown intact — same writer/reader API surface the parquet paths
+    use, so the engine is format-plural like any real lakehouse."""
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    got = (
+        back.filter(F.col("o_orderstatus") == "F")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    want = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == want
+    # partition pruning reaches the ORC scan
+    plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
+
+
+def test_jsonlines_sink_source_roundtrip(spark, tmp_path):
+    """Newline-delimited JSON round trip with an explicit schema on
+    read (never inferSchema in production paths — one schema-drift row
+    would silently retype a column)."""
+    from webscrap_datapipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "nation_json")
+    nation = load_table(spark, "nation", "/root/testdata/sf0.001")
+    nation.write.mode("overwrite").json(out)
+    back = spark.read.schema(nation.schema).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

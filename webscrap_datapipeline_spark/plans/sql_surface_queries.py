@@ -603,3 +603,90 @@ def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(mp).cast("int").alias("n_keys"),
         F.concat_ws(",", F.map_keys(mp)).alias("key_list"),
     )
+
+
+# ----------------------------------------------------------------------------
+# UNPIVOT / melt: wide→long reshaping as a first-class relational op
+# (df.unpivot — Spark's Expand-based melt; DuckDB's UNPIVOT is the same
+# reshape). The inverse of pivot_status_by_priority.
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS size,
+               CAST(p_retailprice AS DOUBLE) AS retailprice
+        FROM part WHERE p_partkey < 200
+    )
+    UNPIVOT (value FOR measure IN (size, retailprice))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of two part measures via ``df.unpivot`` (one
+    Expand projection — a 2× row fan-out, zero shuffles, streams at any
+    scale). UNPIVOT in both engines drops NULL measure values by
+    default; the measures here are non-null so the semantics agree
+    trivially."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") < 200)
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# ----------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL front door): per-customer top-2
+# recent orders via LATERAL, the set-returning correlated form — a
+# different planner path (DomainJoin de-correlation) than the window
+# formulation in sql_top3_orders_per_customer.
+
+
+@query(
+    "lateral_recent_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey < 100
+    """,
+    tags=("sql", "lateral", "correlated", "topk"),
+)
+def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's 2 most recent orders through a correlated LATERAL
+    subquery — the same SQL text runs on Spark and the oracle. Catalyst
+    de-correlates the per-row ORDER BY ... LIMIT into a ranked window
+    join (no per-customer re-execution, unlike a true nested-loops
+    LATERAL); the deterministic (date, orderkey) tiebreak makes both
+    engines pick identical rows."""
+    from ..catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_orderdate
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey < 100
+        """
+    )
