@@ -39,8 +39,16 @@ def connected_components(
     the minimum vertex id reachable from it. Returns (vertex,
     component). Deterministic: min-label is order-independent.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the symmetrized edge list ONCE before looping: every
+    # iteration joins against it, and without the checkpoint each join
+    # would re-execute the edges' entire upstream plan (at the call
+    # sites here: the full quality-filter → dedup → pair-mining DAG) —
+    # measured 3× the whole pipeline's cost at sf0.1. Edges are
+    # candidate pairs, orders of magnitude smaller than the corpus.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("vertex"))

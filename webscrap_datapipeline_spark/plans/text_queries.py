@@ -588,3 +588,114 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand
+
+
+# ----------------------------------------------------------------------------
+# Flagship composition: the full training-data curation pipeline in one
+# plan — quality gate → exact dedup → near-dup survivor selection →
+# corpus stats. Every stage is an operator proven individually above;
+# this query proves they compose, end-to-end, against one oracle.
+
+
+@query(
+    "corpus_curation_stats",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, text
+      FROM documents WHERE doc_id % 10 = 0
+    ), scored AS (
+      SELECT doc_id, lang, text, {_TOKENS.format(c="text")} AS toks
+      FROM corpus
+    ), quality AS (
+      SELECT doc_id, lang, text, len(toks) AS n_toks
+      FROM scored
+      WHERE len(toks) > 0
+        AND (len(list_distinct(toks))::DOUBLE / len(toks)
+             + len(list_filter(toks, w -> w IN {_STOPSET}))::DOUBLE / len(toks)
+             + CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+            ) / 3.0 >= 0.5
+    ), fp AS (
+      SELECT doc_id, lang, text, n_toks,
+             md5(array_to_string({_TOKENS.format(c="lower(text)")}, ' ')) AS fp
+      FROM quality
+    ), exact_kept AS (
+      SELECT doc_id, lang, text, n_toks FROM fp
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM fp GROUP BY fp.fp)
+    ), sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS.format(c="text")}) - 2, 0) + 1),
+               i -> array_to_string(list_slice({_TOKENS.format(c="text")}, i, i + 2), ' ')
+             ))) AS shingle
+      FROM exact_kept
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+    ), sym AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ), reach(v, l) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.l FROM sym s JOIN reach r ON s.a = r.v
+    ), comp AS (
+      SELECT v, MIN(l) AS component FROM reach GROUP BY v
+    ), survivors AS (
+      SELECT doc_id, lang, n_toks FROM exact_kept
+      WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> component)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM survivors GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "quality", "flagship"),
+)
+def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data curation pipeline as ONE lazy Spark plan: seed the
+    corpus with exact-dup copies (every 10th doc, shifted ids) → quality
+    gate (>= 0.5 composite score) → exact dedup (min-id per normalized
+    fingerprint) → Jaccard >= 0.5 near-dup mining → connected-components
+    survivor selection → per-language doc/token stats.
+
+    Scale shape: the quality gate is a pure projection that prunes
+    before anything shuffles; exact dedup shuffles (fingerprint, id)
+    pairs only; pair mining shuffles shingle hashes of the *surviving*
+    docs; the component loop touches only paired docs. Nothing in the
+    pipeline ever shuffles document bodies except the initial scan. The
+    oracle replays all five stages, recursive CC included — one value
+    check over the composed pipeline.
+    """
+    from ..operators.components import dedup_survivors
+
+    docs = ensure_min_parallelism(
+        load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text"),
+        spark,
+    )
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.unionByName(dups)
+    quality = corpus.filter(
+        (TX.token_count("text") > 0) & (TX.quality_score("text") >= 0.5)
+    )
+    canon = DD.exact_dedup(quality, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    exact_kept = quality.join(canon, "doc_id", "left_semi")
+    pairs = DD.jaccard_pairs(
+        exact_kept, "text", "doc_id", n=3, max_shingle_freq=None
+    ).filter(F.col("jaccard") >= 0.5)
+    survivors = dedup_survivors(exact_kept, pairs, "doc_id", "doc_a", "doc_b")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+    )
