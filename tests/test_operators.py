@@ -733,3 +733,46 @@ def test_jsonlines_sink_source_roundtrip(spark, tmp_path):
     nation.write.mode("overwrite").json(out)
     back = spark.read.schema(nation.schema).json(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_pack_greedy_respects_budget_and_covers_all_docs(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.packing import (
+        pack_fill,
+        pack_greedy,
+    )
+
+    rows = [
+        ("en", 1, 900), ("en", 2, 900), ("en", 3, 300), ("en", 4, 2500),
+        ("en", 5, 100), ("de", 6, 1999), ("de", 7, 2), ("de", 8, 1),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_toks"])
+    packed = pack_greedy(df, "doc_id", "n_toks", 2000, "lang").collect()
+    # every doc packed exactly once
+    assert sorted(r["doc_id"] for r in packed) == [1, 2, 3, 4, 5, 6, 7, 8]
+    loads: dict[tuple, int] = {}
+    singles = {}
+    for r in packed:
+        loads[(r["lang"], r["bin"])] = loads.get((r["lang"], r["bin"]), 0) + r["n_toks"]
+        singles.setdefault((r["lang"], r["bin"]), []).append(r["n_toks"])
+    for k, total in loads.items():
+        # hard cap unless the bin is a single oversized doc
+        assert total <= 2000 or (len(singles[k]) == 1 and singles[k][0] > 2000), (
+            k,
+            total,
+        )
+    # greedy in id order: en = [900+900] [300+... 4 doesn't fit alone->own bin]
+    got = {r["doc_id"]: r["bin"] for r in packed if r["lang"] == "en"}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+    # fill variant: same doc set, bins are contiguous in id order and
+    # every doc lands in exactly one bin
+    filled = pack_fill(df, "doc_id", "n_toks", 2000, "lang")
+    assert filled.count() == 8
+    en = {
+        r["doc_id"]: r["bin"]
+        for r in filled.filter(F.col("lang") == "en").collect()
+    }
+    # cum_before: 0, 900, 1800, 2100, 4600 -> bins 0,0,0,1,2
+    assert en == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}

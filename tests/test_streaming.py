@@ -270,3 +270,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # v2 (00:25) is 15m from c1 and 35m from c3 -> no match; v4 is 60m
     # from c3 -> no match.
     assert got == {("c1", "v1"), ("c2", "v3")}
+
+
+def test_transform_with_state_change_detection(spark, tmp_path):
+    """The transformWithState (Spark 4 typed-state API) twin of
+    detect_changes_stream must produce the same change feed across
+    micro-batches. Needs the RocksDB state store provider — the HDFS
+    provider doesn't implement transformWithState — and protobuf
+    (PySpark's state-server wire protocol), which this container lacks;
+    skip rather than stub: a faked state server would test nothing."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from webscrap_datapipeline_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        detect_changes_stream_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    src_dir = str(tmp_path / "keys_tws")
+    ckpt = str(tmp_path / "ckpt_tws")
+    _write_events_json(src_dir, ['{"key": "A", "last_seen_ts": "t1"}',
+                                 '{"key": "B", "last_seen_ts": "t1"}'])
+    stream = spark.readStream.schema("key string, last_seen_ts string").json(src_dir)
+    q = (
+        detect_changes_stream_tws(stream)
+        .writeStream.format("memory")
+        .queryName("cd_tws_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["key"], r["change_kind"])
+            for r in spark.sql("select * from cd_tws_test").collect()
+        }
+        assert first == {("A", "new"), ("B", "new")}
+
+        _write_events_json(src_dir, ['{"key": "A", "last_seen_ts": "t1"}',
+                                     '{"key": "B", "last_seen_ts": "t2"}',
+                                     '{"key": "C", "last_seen_ts": "t1"}'])
+        q.processAllAvailable()
+        allrows = {
+            (r["key"], r["last_seen_ts"], r["change_kind"])
+            for r in spark.sql("select * from cd_tws_test").collect()
+        }
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert ("B", "t2", "changed") in allrows
+    assert ("C", "t1", "new") in allrows
+    assert len([r for r in allrows if r[0] == "A"]) == 1

@@ -699,3 +699,48 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Sequence packing (training-batch assembly): contiguous-fill bins per
+# language — pure window algebra, exactly mirrored in SQL.
+
+
+@query(
+    "doc_packing_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, doc_id, len({_TOKENS.format(c="text")}) AS n_toks
+      FROM documents
+    ), binned AS (
+      SELECT lang, n_toks,
+             CAST(floor((SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks) / 2000.0)
+                  AS BIGINT) AS bin
+      FROM w
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY lang, bin
+    """,
+    tags=("packing", "window", "training-data"),
+)
+def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 2000-token training bins per language with
+    ``operators/packing.pack_fill`` (contiguous fill: one window per
+    group, zero Python, bins overshoot by at most one doc) and report
+    per-bin document/token totals. The capacity-strict sibling
+    (``pack_greedy``, applyInPandas) is pinned against this one in
+    pytest — fill is the JVM-side scale path, greedy the hard-cap
+    path."""
+    from ..operators.packing import pack_fill
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", TX.token_count("text").alias("n_toks")
+    )
+    binned = pack_fill(docs, "doc_id", "n_toks", 2000, "lang")
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("bin_tokens"),
+    )

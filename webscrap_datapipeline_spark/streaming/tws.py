@@ -1,0 +1,85 @@
+"""Change detection on the transformWithState API (Spark 4) — the
+typed-state successor to applyInPandasWithState: named state variables
+(ValueState/ListState/MapState) managed per key by the engine, RocksDB
+state store, timers, and state-schema evolution.
+
+Same semantics as ``streaming/change_detection.detect_changes_stream``
+(the reference's per-key watermark comparison, src/utils.py:168-194):
+emit (key, ts, 'new'|'changed') whenever a key's observed ts differs
+from the stored one. Both implementations are pinned against each other
+in pytest — the old API stays as the portability path, this one is the
+forward path (per-key ValueState beats the whole-group tuple state for
+evolution and for TTL support).
+
+Requires the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass`` →
+``RocksDBStateStoreProvider``) — the HDFS-backed provider does not
+implement transformWithState — and the ``protobuf`` package (PySpark's
+state-server wire protocol). In environments without protobuf the
+module still imports (the processor is plain Python); only starting a
+query fails, and the pytest skips accordingly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("last_seen_ts", T.StringType()),
+        T.StructField("change_kind", T.StringType()),  # 'new' | 'changed'
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("last_seen_ts", T.StringType())])
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class ChangeDetector(StatefulProcessor):
+    """Per-key last-seen-ts ValueState; emits only observations that
+    differ from the stored value (duplicates are swallowed, matching
+    the batch anti-join on the composite key)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        latest = self._last.get()[0] if self._last.exists() else None
+        changes = []
+        for pdf in rows:
+            for ts in pdf["last_seen_ts"]:
+                if latest is None:
+                    changes.append((key[0], ts, "new"))
+                    latest = ts
+                elif ts != latest:
+                    changes.append((key[0], ts, "changed"))
+                    latest = ts
+        if latest is not None:
+            self._last.update((latest,))
+        if changes:
+            yield pd.DataFrame(changes, columns=["key", "last_seen_ts", "change_kind"])
+
+    def close(self) -> None:
+        pass
+
+
+def detect_changes_stream_tws(source: DataFrame) -> DataFrame:
+    """``source``: streaming (key, last_seen_ts) → one row per change,
+    via transformWithStateInPandas."""
+    return source.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=ChangeDetector(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
