@@ -776,3 +776,24 @@ def test_pack_greedy_respects_budget_and_covers_all_docs(spark):
     }
     # cum_before: 0, 900, 1800, 2100, 4600 -> bins 0,0,0,1,2
     assert en == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_assign_contiguous_ids_dense_and_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.createDataFrame([(k,) for k in [42, 7, 99, 1, 13, 8, 56]], ["k"])
+    got = {
+        r["k"]: r["row_id"]
+        for r in assign_contiguous_ids(df, "k", num_partitions=3).collect()
+    }
+    assert got == {1: 0, 7: 1, 8: 2, 13: 3, 42: 4, 56: 5, 99: 6}
+    # plan never collapses to one partition: no global (partition-less) Sort
+    plan = (
+        assign_contiguous_ids(df, "k", num_partitions=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()

@@ -690,3 +690,36 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 100
         """
     )
+
+
+# ----------------------------------------------------------------------------
+# Array-valued aggregation: per-user ordered distinct event types —
+# array results flowing through the oracle comparison.
+
+
+@query(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    tags=("agg", "array"),
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → array_sort per user: array-typed aggregate output
+    (sorted, so both engines produce identical arrays — a raw
+    collect_list would be partition-order-dependent and can never be
+    oracle-checked)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )

@@ -744,3 +744,34 @@ def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("bin_tokens"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Global contiguous ids without a global window (operators/ids.py): the
+# oracle IS the naive single-partition row_number — the implementations
+# must agree exactly while the Spark plan never serializes the table.
+
+
+@query(
+    "doc_global_row_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+    tags=("ids", "window", "training-data"),
+)
+def doc_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 0..N-1 ids over a filtered corpus slice (every 3rd doc —
+    so ids must be dense over the REMAINING rows, the resumable-sharding
+    requirement). The operator range-partitions + offsets instead of the
+    oracle's global window; results must be identical."""
+    from ..operators.ids import assign_contiguous_ids
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    return assign_contiguous_ids(docs, "doc_id")
