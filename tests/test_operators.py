@@ -797,3 +797,97 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
         .toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_int8_quantization_error_bound_and_roundtrip(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").limit(200)
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("deq"),
+        quantize_int8(F.col("embedding")).alias("q"),
+    )
+    rows = q.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, deq, (a, b) -> abs(cast(a as double) - b)),"
+            " cast(0.0 as double), (acc, v) -> greatest(acc, v))"
+        ).alias("max_err"),
+        (F.col("q.scale") / 2 + F.lit(1e-12)).alias("bound"),
+        F.expr(
+            "aggregate(transform(q.codes, c -> case when c between 0 and 255"
+            " then 0 else 1 end), 0, (a, v) -> a + v)"
+        ).alias("out_of_range"),
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r["out_of_range"] == 0
+        assert r["max_err"] <= r["bound"] and not math.isnan(r["max_err"]), (
+            r["vec_id"],
+            r["max_err"],
+            r["bound"],
+        )
+
+    # constant vector: exact reconstruction with scale 0
+    const = spark.createDataFrame([(1, [2.5, 2.5, 2.5])], ["id", "v"])
+    out = const.select(dequantize_int8(quantize_int8(F.col("v"))).alias("d")).collect()
+    assert out[0]["d"] == [2.5, 2.5, 2.5]
+
+
+def test_writer_max_records_per_file_and_sorted_layout(spark, tmp_path):
+    """Data-layout controls for the write path: maxRecordsPerFile bounds
+    file row counts (the small-file/giant-file guard), and
+    sortWithinPartitions clusters rows by key inside each file so a
+    min/max-based reader can skip pages."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "orders_layout")
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    n = orders.count()
+    (
+        orders.repartition(2)
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500)
+        .parquet(out)
+    )
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= n // 500  # the cap forced splitting
+    import pyarrow.parquet as pq
+
+    for f in files:
+        t = pq.read_table(f, columns=["o_custkey"])
+        assert t.num_rows <= 500
+        vals = t.column("o_custkey").to_pylist()
+        assert vals == sorted(vals)  # clustered layout inside each file
+    back = spark.read.parquet(out)
+    assert back.count() == n
+
+
+def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution on the lake path: files written before a column
+    existed must still read (NULL-filled) once mergeSchema sees the
+    union schema — the append-only corpus-with-new-metadata case."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "txt"]).write.parquet(out + "/p=1")
+    spark.createDataFrame([(2, "b", 0.9)], ["id", "txt", "quality"]).write.parquet(
+        out + "/p=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "txt", "quality", "p"}
+    got = {r["id"]: r["quality"] for r in merged.collect()}
+    assert got[1] is None and abs(got[2] - 0.9) < 1e-9

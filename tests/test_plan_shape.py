@@ -252,3 +252,27 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     static_plan = plan_str(static)
     pf = static_plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "= click" in pf, static_plan
+
+
+def test_aqe_switches_to_broadcast_join_at_runtime(spark):
+    """AQE's runtime re-plan: a join whose build side only becomes
+    broadcast-small AFTER a selective filter executes must end up a
+    BroadcastHashJoin in the final adaptive plan — the static planner
+    can't know the filtered size, the adaptive one measures it. This is
+    the 100 TB safety net for misestimated dimension sizes."""
+    fact = load_table(spark, "lineitem", SF_SMALL)
+    dim = (
+        load_table(spark, "orders", SF_SMALL)
+        .filter(F.col("o_totalprice") > 400000)  # selective at runtime
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # hide the size from the static planner: a shuffle boundary between
+    # the filter and the join makes the join input a runtime QueryStage
+    dim = dim.repartition(8, "o_orderkey")
+    joined = fact.join(dim, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderpriority"
+    ).count()
+    joined.collect()  # materialize so AQE finalizes the plan
+    final = plan_str(joined)
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final, final
