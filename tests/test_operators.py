@@ -891,3 +891,29 @@ def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"id", "txt", "quality", "p"}
     got = {r["id"]: r["quality"] for r in merged.collect()}
     assert got[1] is None and abs(got[2] - 0.9) < 1e-9
+
+
+def test_pipe_csv_sink_roundtrip(spark, tmp_path):
+    """K1 literally: the enriched report written back as pipe-delimited
+    CSV with header, read again with the explicit schema — byte-faithful
+    round trip including the col-14 forced-string code column
+    (reference src/process_files.py:47,57)."""
+    from webscrap_datapipeline_spark.sources.csv_reports import RAW_REPORT_SCHEMA
+
+    rows = [
+        tuple(
+            f"v{i}" if f.dataType.simpleString() == "string" else None
+            for i, f in enumerate(RAW_REPORT_SCHEMA.fields)
+        )
+    ]
+    df = spark.createDataFrame(rows, RAW_REPORT_SCHEMA)
+    out = str(tmp_path / "csv_out")
+    df.write.mode("overwrite").option("header", True).option("sep", "|").csv(out)
+    back = (
+        spark.read.schema(RAW_REPORT_SCHEMA)
+        .option("header", True)
+        .option("sep", "|")
+        .csv(out)
+    )
+    assert [tuple(r) for r in back.collect()] == [tuple(r) for r in df.collect()]
+    assert back.schema == RAW_REPORT_SCHEMA

@@ -119,3 +119,62 @@ def test_cdc_diff_apply_roundtrip(spark, old, new):
     classes = {r["k"]: r["_change_type"] for r in feed.collect()}
     assert {k for k, c in classes.items() if c == "insert"} == set(new) - set(old)
     assert {k for k, c in classes.items() if c == "delete"} == set(old) - set(new)
+
+
+# ----------------------------------------------------------------------------
+# Packing invariants: every doc packed exactly once; greedy respects the
+# hard cap except solo-oversized docs; fill bins are contiguous in id
+# order; both are deterministic across runs.
+
+WEIGHTS = st.lists(st.integers(min_value=1, max_value=1500), min_size=1, max_size=14)
+
+
+@given(weights=WEIGHTS)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_packing_invariants(spark, weights):
+    from webscrap_datapipeline_spark.operators.packing import pack_fill, pack_greedy
+
+    budget = 2000
+    rows = [("g", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "w"])
+
+    greedy = pack_greedy(df, "doc_id", "w", budget, "grp").collect()
+    assert sorted(r["doc_id"] for r in greedy) == list(range(len(weights)))
+    loads: dict[int, list[int]] = {}
+    for r in greedy:
+        loads.setdefault(r["bin"], []).append(r["w"])
+    for members in loads.values():
+        assert sum(members) <= budget or len(members) == 1
+    # greedy never leaves a doc behind that would have fit in the
+    # previous bin (first-fit in id order is tight)
+    order = sorted(greedy, key=lambda r: r["doc_id"])
+    for prev, cur in zip(order, order[1:]):
+        if cur["bin"] == prev["bin"] + 1:
+            assert sum(loads[prev["bin"]]) + cur["w"] > budget
+
+    fill = pack_fill(df, "doc_id", "w", budget, "grp").collect()
+    assert sorted(r["doc_id"] for r in fill) == list(range(len(weights)))
+    by_id = [r["bin"] for r in sorted(fill, key=lambda r: r["doc_id"])]
+    assert by_id == sorted(by_id)  # bins never decrease in id order
+
+
+@given(keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0,
+                     max_size=25, unique=True))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_contiguous_ids_match_sorted_enumeration(spark, keys):
+    from webscrap_datapipeline_spark.operators.ids import assign_contiguous_ids
+
+    schema = "k long"
+    df = (
+        spark.createDataFrame([(k,) for k in keys], schema)
+        if keys
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        r["k"]: r["row_id"]
+        for r in assign_contiguous_ids(df, "k", num_partitions=4).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want

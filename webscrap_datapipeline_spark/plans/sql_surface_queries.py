@@ -723,3 +723,36 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Regex function family (SURVEY §2.7 F1-F3 generalized): extract-all,
+# count, group-replace — kept to RE2-safe syntax so Java and DuckDB
+# dialects agree.
+
+
+@query(
+    "regex_functions_probe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("regex", "functions"),
+)
+def regex_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all / regexp_extract(group) / regexp_replace over
+    document text. Dialect discipline: character classes and groups
+    only — no lookaround, no \\d-style escapes (Java and RE2 disagree on
+    those corners). Spark's regexp_replace is global by default; DuckDB
+    needs the explicit 'g' flag — the kind of cross-engine semantic the
+    oracle exists to pin."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+    )
