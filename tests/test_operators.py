@@ -917,3 +917,39 @@ def test_pipe_csv_sink_roundtrip(spark, tmp_path):
     )
     assert [tuple(r) for r in back.collect()] == [tuple(r) for r in df.collect()]
     assert back.schema == RAW_REPORT_SCHEMA
+
+
+def test_write_training_shards_balanced_and_prunable(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.functions.text import token_count
+    from webscrap_datapipeline_spark.operators.packing import write_training_shards
+
+    out = str(tmp_path / "shards")
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", token_count("text").alias("n_toks")
+    )
+    write_training_shards(docs, out, "doc_id", "n_toks", n_shards=4)
+    assert len(glob.glob(out + "/shard=*")) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    loads = {
+        r["shard"]: r["t"]
+        for r in back.groupBy("shard").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    total = sum(loads.values())
+    # each shard within 2x of the ideal quarter (docs are indivisible)
+    for s, t in loads.items():
+        assert t <= 2 * total / 4, (s, t, total)
+    # shards are contiguous id ranges -> deterministic, resumable
+    ranges = {
+        r["shard"]: (r["lo"], r["hi"])
+        for r in back.groupBy("shard")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    }
+    for s in range(3):
+        assert ranges[s][1] < ranges[s + 1][0]

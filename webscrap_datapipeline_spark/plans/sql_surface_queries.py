@@ -756,3 +756,50 @@ def regex_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
     )
+
+
+# ----------------------------------------------------------------------------
+# NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of vanishing — the semantic difference between
+# "join on possibly-absent attribute" and silent row loss.
+
+
+@query(
+    "null_safe_region_match",
+    oracle="""
+    WITH a AS (
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+        FROM nation
+    ), b AS (
+        SELECT r_regionkey,
+               CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END AS rk,
+               r_name
+        FROM region
+    )
+    SELECT a.n_nationkey, b.r_name
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+    tags=("join", "null-safe"),
+)
+def null_safe_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join under NULL-safe equality (Spark's <=>): nations whose
+    region key was nulled out still pair with the nulled region row —
+    a plain `=` would silently drop them. Still hash-partitionable
+    (NULL is just another key value to the partitioner), so the plan
+    stays a broadcast/shuffled hash join, never nested-loop."""
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 0, F.lit(None))
+        .otherwise(F.col("n_regionkey"))
+        .alias("rk_a"),
+    )
+    region = load_table(spark, "region", sf_dir).select(
+        F.when(F.col("r_regionkey") == 0, F.lit(None))
+        .otherwise(F.col("r_regionkey"))
+        .alias("rk_b"),
+        "r_name",
+    )
+    return nation.join(
+        F.broadcast(region), F.col("rk_a").eqNullSafe(F.col("rk_b"))
+    ).select("n_nationkey", "r_name")

@@ -775,3 +775,54 @@ def doc_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return assign_contiguous_ids(docs, "doc_id")
+
+
+# ----------------------------------------------------------------------------
+# PII scrubbing: regex redaction as a pure projection (RE2-safe
+# patterns shared verbatim with the oracle).
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
+               AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{_LONGNUM_RE}'))) AS BIGINT)
+               AS n_long_numbers,
+           CAST(SUM(length(text) - length(
+                regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                               '{_LONGNUM_RE}', '<NUM>', 'g')))
+               AS BIGINT) AS redaction_delta
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub accounting: emails and long digit runs found and
+    redacted per language. The redaction itself is two chained
+    regexp_replace projections (streamable at any scale — no shuffle
+    until the audit aggregate); the stats are what a compliance gate
+    actually consumes. redaction_delta = characters saved by
+    placeholders (negative when placeholders are longer — it is the
+    equality with the oracle that matters, both engines replace the
+    same spans)."""
+    docs = load_table(spark, "documents", sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE))))
+        .cast("bigint")
+        .alias("n_long_numbers"),
+        F.sum(F.length("text") - F.length(redacted))
+        .cast("bigint")
+        .alias("redaction_delta"),
+    )
