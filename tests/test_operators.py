@@ -953,3 +953,72 @@ def test_write_training_shards_balanced_and_prunable(spark, tmp_path):
     }
     for s in range(3):
         assert ranges[s][1] < ranges[s + 1][0]
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    fn = REGISTRY["stratified_event_sample"].fn
+    got = {r["event_type"]: r["n_sampled"] for r in fn(spark, sf).collect()}
+    again = {r["event_type"]: r["n_sampled"] for r in fn(spark, sf).collect()}
+    assert got == again  # seeded => identical across runs
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fr = {"click": 0.5, "view": 0.1, "purchase": 1.0}
+    for t, f_exp in fr.items():
+        if t not in totals:
+            continue
+        expect = totals[t] * f_exp
+        if f_exp == 1.0:
+            assert got[t] == totals[t]
+        else:
+            assert abs(got[t] - expect) < 0.15 * totals[t] + 20, (t, got[t], expect)
+    # strata not in the fraction map are dropped entirely
+    assert set(got) <= set(fr)
+
+
+def test_chunk_audio_overlapped_windows_and_lineage(spark):
+    from webscrap_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        chunk_audio,
+        fake_audio_chunker,
+    )
+
+    rows = [
+        (1, "audio", b"x" * 100, {"mime": "audio/wav", "width": None, "height": None,
+                                  "duration_ms": 70000}),
+        (2, "audio", b"y" * 10, {"mime": "audio/wav", "width": None, "height": None,
+                                 "duration_ms": 10000}),
+        (3, "image", b"z", {"mime": "image/png", "width": 1, "height": 1,
+                            "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    chunks = chunk_audio(
+        media, window_ms=30000, overlap_ms=5000, chunker=fake_audio_chunker
+    ).collect()
+    # media 1 (70s): starts at 0, 25, 50 -> 3 chunks; media 2 (10s): 1 chunk
+    by_media: dict[int, list] = {}
+    for r in chunks:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert 3 not in by_media  # image rows never chunk
+    m1 = sorted(by_media[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_ms"], r["end_ms"]) for r in m1] == [
+        (0, 30000),
+        (25000, 55000),
+        (50000, 70000),
+    ]
+    # consecutive chunks overlap by exactly overlap_ms
+    for a, b in zip(m1, m1[1:]):
+        assert a["end_ms"] - b["start_ms"] == 5000
+    assert [(r["start_ms"], r["end_ms"]) for r in by_media[2]] == [(0, 10000)]
+    for r in chunks:
+        assert len(r["payload"]) > 0

@@ -247,3 +247,73 @@ def payload_sizes_arrow(media: DataFrame) -> DataFrame:
     return out.groupBy("kind").agg(
         F.sum("n_bytes").alias("total_bytes"), F.count(F.lit(1)).alias("n_items")
     )
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def default_audio_chunker(payload: bytes, start_ms: int, end_ms: int) -> bytes:
+    """Production audio slicing hook (codec-aware). Stub by contract."""
+    raise NotImplementedError("no audio decoder installed: inject chunker=...")
+
+
+def fake_audio_chunker(payload: bytes, start_ms: int, end_ms: int) -> bytes:
+    """Deterministic stand-in: byte slice proportional to the time
+    window (treats the payload as fixed-rate samples) — verifies chunk
+    boundaries and lineage without a codec."""
+    if not payload:
+        return b""
+    n = len(payload)
+    dur = max(1, end_ms)
+    lo = min(n, start_ms * n // dur)
+    hi = min(n, end_ms * n // dur) or 1
+    return payload[lo:hi]
+
+
+def chunk_audio(
+    media: DataFrame,
+    window_ms: int = 30_000,
+    overlap_ms: int = 5_000,
+    max_chunks: int = 128,
+    chunker: Callable[[bytes, int, int], bytes] = default_audio_chunker,
+) -> DataFrame:
+    """1:N overlapped windowing over audio rows — the ASR/embedding
+    preprocessing shape (e.g. 30 s windows with 5 s overlap): chunk k
+    covers [k·(window−overlap), k·(window−overlap)+window). Bounded
+    fan-out (``max_chunks``) like frame sampling; per-chunk time lineage
+    rides along for alignment back to the source. Metadata-only rows
+    (duration) drive the fan-out, so a mis-tagged payload can't explode
+    a task."""
+    if overlap_ms >= window_ms:
+        raise ValueError("overlap_ms must be smaller than window_ms")
+    auds = media.filter(F.col("kind") == "audio")
+    stride = window_ms - overlap_ms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "chunk_idx": [], "start_ms": [], "end_ms": [], "payload": []}
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                duration = int((m or {}).get("duration_ms") or 0)
+                raw = bytes(p) if p is not None else b""
+                n = 0
+                start = 0
+                while start < duration and n < max_chunks:
+                    end = min(start + window_ms, duration)
+                    rows["media_id"].append(mid)
+                    rows["chunk_idx"].append(n)
+                    rows["start_ms"].append(start)
+                    rows["end_ms"].append(end)
+                    rows["payload"].append(chunker(raw, start, end))
+                    n += 1
+                    start += stride
+            yield pd.DataFrame(rows)
+
+    return auds.mapInPandas(run, CHUNK_SCHEMA)

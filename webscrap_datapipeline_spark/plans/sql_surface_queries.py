@@ -803,3 +803,26 @@ def null_safe_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), F.col("rk_a").eqNullSafe(F.col("rk_b"))
     ).select("n_nationkey", "r_name")
+
+
+# ----------------------------------------------------------------------------
+# Stratified sampling (sampleBy): per-stratum Bernoulli with distinct
+# fractions — the class-balancing primitive for training-data curation.
+
+
+@query(
+    "stratified_event_sample",
+    oracle=None,  # seeded sampling is engine-internal RNG; pytest pins
+    # per-stratum proportions and determinism instead.
+    tags=("sampling", "stratified", "rows-only"),
+)
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling: 50% of clicks, 10% of views, 100% of
+    purchases (seed 7) — ``df.stat.sampleBy``, the scan-level
+    class-rebalancer (each row decides locally from the seeded hash, no
+    shuffle). Summary per type so the driver rows-check is stable."""
+    events = load_table(spark, "events", sf_dir)
+    sampled = events.sampleBy(
+        "event_type", {"click": 0.5, "view": 0.1, "purchase": 1.0}, seed=7
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -374,3 +374,39 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_p")[1].alias("p90"),
         F.col("approx_p")[2].alias("p99"),
     )
+
+
+@query(
+    "hourly_from_minute_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("rollup", "materialized-view", "agg"),
+)
+def hourly_from_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) semantics: the hourly
+    answer is served FROM a minute-grain rollup — count of counts, sum
+    of partial decimal sums — never from raw events; the oracle computes
+    hourly directly from raw. Equality proves the rollup is a lossless
+    re-aggregation point, the property that lets a 100 TB events table
+    answer dashboard queries from a table 1/60th (or 1/3600th) its
+    size. Partial sums stay DECIMAL through the rollup so the two-level
+    aggregation is order-independent."""
+    events = load_table(spark, "events", sf_dir)
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_partial"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_partial"),
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", "minute_start").alias("hour_start"), "event_type"
+    ).agg(
+        F.sum("n_partial").alias("n_events"),
+        F.sum("sum_partial").cast("double").alias("total_value"),
+    )
