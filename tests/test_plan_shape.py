@@ -276,3 +276,17 @@ def test_aqe_switches_to_broadcast_join_at_runtime(spark):
     final = plan_str(joined)
     assert "isFinalPlan=true" in final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Engine-wide Python-boundary policy, enforced: no registered query
+    may plan BatchEvalPython (row-at-a-time pickling, the 10-100× slow
+    path). Python is allowed only Arrow-batched — ArrowEvalPython
+    (pandas_udf), mapInPandas/Arrow, applyInPandas (FlatMapGroupsInPandas
+    / Cogroup), or Arrow-optimized UDTFs."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        plan = plan_str(q.fn(spark, SF_SMALL), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders

@@ -826,3 +826,76 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", {"click": 0.5, "view": 0.1, "purchase": 1.0}, seed=7
     )
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# ----------------------------------------------------------------------------
+# Statistics aggregates, determinism-hardened: exact median, and sample
+# stddev/variance derived from exact decimal power sums — never the
+# engines' native one-pass (Welford) accumulators, whose float results
+# differ per partitioning.
+
+
+@query(
+    "value_median_by_type",
+    oracle="""
+    SELECT event_type, median(value) AS median_value, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "stats", "median"),
+)
+def value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (Spark's median == percentile 0.5 exact,
+    DuckDB's median; both interpolate the even-count midpoint on the
+    stored doubles, so values agree bit-for-bit). Exact medians need a
+    per-group sort — the approx_percentile sketch twin is the 100 TB
+    default; this is the small-group/high-stakes path."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "value_dispersion_by_type",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(30,8)) * CAST(value AS DECIMAL(30,8)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / n AS mean_value,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value
+    FROM sums
+    """,
+    tags=("agg", "stats", "stddev"),
+)
+def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and sample stddev per group via exact decimal power sums
+    (Σx, Σx²) + one closed-form double computation. The engines' native
+    stddev_samp is a streaming accumulator whose float result depends on
+    partition boundaries — unusable for cross-engine parity AND for
+    run-to-run reproducibility on a shuffling cluster; power sums are
+    order-independent, and at scale they also partially aggregate
+    map-side like any sum."""
+    events = load_table(spark, "events", sf_dir)
+    v6 = F.col("value").cast("decimal(24,6)")
+    v8 = F.col("value").cast("decimal(30,8)")
+    sums = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v6).cast("double").alias("s1"),
+        F.sum(v8 * v8).cast("double").alias("s2"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_value"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("stddev_value"),
+    )
