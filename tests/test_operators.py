@@ -1022,3 +1022,31 @@ def test_chunk_audio_overlapped_windows_and_lineage(spark):
     assert [(r["start_ms"], r["end_ms"]) for r in by_media[2]] == [(0, 10000)]
     for r in chunks:
         assert len(r["payload"]) > 0
+
+
+def test_python_datasource_hotel_reports(spark):
+    """The custom Python DataSource (S6 as a first-class scan): work
+    list partitioned by the planner, failures surfaced as status rows,
+    column pruning requests only needed fields."""
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.sources.report_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("hotel_reports")
+        .option("hotels", "ALPHA,BRAVO,CHARLIE,ZULU,DELTA")
+        .option("numPartitions", 3)
+        .load()
+    )
+    rows = {r["hotel_cd"]: r for r in df.collect()}
+    assert set(rows) == {"ALPHA", "BRAVO", "CHARLIE", "ZULU", "DELTA"}
+    assert rows["ZULU"]["fetch_status"] == "error:unreachable"
+    ok = [r for r in rows.values() if r["fetch_status"] == "ok"]
+    assert len(ok) == 4 and all(r["n_rows"] > 0 for r in ok)
+    # deterministic fetch => stable re-read
+    again = {r["hotel_cd"]: tuple(r) for r in df.collect()}
+    assert again == {k: tuple(v) for k, v in rows.items()}
+    # scan honors a downstream filter + projection without error
+    sel = df.filter(F.col("fetch_status") == "ok").select("hotel_cd", "n_rows")
+    assert sel.count() == 4

