@@ -100,13 +100,34 @@ def jaccard_pairs(
     boilerplate shingles ("click here to" in 10M docs would alone
     generate 10M² pairs). At 100 TB this cap is mandatory.
     """
-    base = shingled(df, text_col, id_col, n)
-    # xxhash64, not word_hash64/md5: the hash is ONLY an internal shuffle
-    # key here (never compared against an oracle), so the JVM-intrinsic
-    # hash wins over md5's hex-string detour.
-    idx = base.select(
-        F.col("doc"), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
-    ).select(F.xxhash64(F.col("shingle")).alias("h"), F.struct("doc", "sz").alias("ds"))
+    # Shingle identity is ONLY an internal shuffle key here (never
+    # compared against an oracle), so skip building n-gram *strings*
+    # entirely: hash each token once (xxhash64, JVM-intrinsic), then
+    # combine n consecutive token hashes with a second multi-arg
+    # xxhash64 over the longs (position-sensitive, no string
+    # allocation, no ANSI overflow — arithmetic combining throws under
+    # Spark 4's default ANSI mode). Same 64-bit collision exposure as
+    # hashing the n-gram string.
+    #
+    # Evaluation-shape caveat (measured 5× either way): the n-gram
+    # windows MUST come from arrays_zip over shifted slices, all at
+    # projection top level — indexing the token-hash array inside a
+    # lambda (th[i+j]) defeats common-subexpression elimination after
+    # projection collapse, re-evaluating the whole token transform per
+    # element (O(tokens²) per doc).
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(th) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(th, j + 1, m) for j in range(n)])
+    sh = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
+        ).alias("sh"),
+    )
+    idx = sh.select(
+        F.col("doc"), F.size("sh").alias("sz"), F.explode("sh").alias("h")
+    ).select("h", F.struct("doc", "sz").alias("ds"))
     posting = (
         idx.groupBy("h")
         .agg(F.array_sort(F.collect_set("ds")).alias("docs"))
