@@ -690,7 +690,14 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = DD.exact_dedup(quality, "text", "doc_id").select(
         F.col("canonical_id").alias("doc_id")
     )
-    exact_kept = quality.join(canon, "doc_id", "left_semi")
+    # The curated subset feeds three consumers (pair mining, the
+    # survivor anti-join's left side, and the final aggregate); a lazy
+    # localCheckpoint materializes it once on first use instead of
+    # re-running the quality gate + dedup per consumer. (A real
+    # pipeline would persist this layer to storage — same idea.)
+    exact_kept = quality.join(canon, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     pairs = DD.jaccard_pairs(
         exact_kept, "text", "doc_id", n=3, max_shingle_freq=None
     ).filter(F.col("jaccard") >= 0.5)
