@@ -752,7 +752,7 @@ def regex_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.filter(F.col("doc_id") < 200).select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_numbers"),
         F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
     )

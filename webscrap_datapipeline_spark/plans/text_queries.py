@@ -795,6 +795,14 @@ _LONGNUM_RE = "[0-9]{6,}"
 @query(
     "pii_redaction_stats",
     oracle=f"""
+    WITH seeded AS (
+      SELECT lang,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com ref ' || CAST(doc_id * 1234567 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
     SELECT lang,
            CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
                AS n_emails,
@@ -804,7 +812,7 @@ _LONGNUM_RE = "[0-9]{6,}"
                 regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                                '{_LONGNUM_RE}', '<NUM>', 'g')))
                AS BIGINT) AS redaction_delta
-    FROM documents
+    FROM seeded
     GROUP BY lang
     """,
     tags=("text", "pii", "redaction"),
@@ -817,16 +825,37 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually consumes. redaction_delta = characters saved by
     placeholders (negative when placeholders are longer — it is the
     equality with the oracle that matters, both engines replace the
-    same spans)."""
-    docs = load_table(spark, "documents", sf_dir)
+    same spans).
+
+    The synthetic corpus contains no PII (pure lowercase words), which
+    would make every aggregate trivially zero — so every 7th document
+    is deterministically seeded with an email + long reference number
+    (mirrored in the oracle) and the scrub must find and remove exactly
+    those."""
+    base = load_table(spark, "documents", sf_dir)
+    docs = base.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ref "),
+                (F.col("doc_id") * 1234567).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     redacted = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
     )
     return docs.groupBy("lang").agg(
-        F.sum(F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))))
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))))
         .cast("bigint")
         .alias("n_emails"),
-        F.sum(F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE))))
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE), F.lit(0))))
         .cast("bigint")
         .alias("n_long_numbers"),
         F.sum(F.length("text") - F.length(redacted))
