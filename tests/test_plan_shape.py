@@ -290,3 +290,57 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join handling, demonstrated end-to-end: a join where one
+    key holds ~100× the median partition's data must show skew-split
+    sort-merge-join handling ("skew=true") in the final adaptive plan
+    once thresholds are scaled to the test data. At 100 TB this is what
+    keeps one hot user/URL/session from pinning a straggler task for
+    hours."""
+    hot = spark.range(200_000).select(
+        F.lit(0).alias("k"), (F.col("id") * F.lit(7919)).alias("payload")
+    )
+    cold = spark.range(2_000).select(
+        (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.unionAll(cold)
+    right = spark.range(51).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # scale the skew detector to test-sized data (defaults are 256MB;
+        # thresholds compare against COMPRESSED shuffle-write bytes, so
+        # 200k rows of longs is only tens of KB)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        # splitting the skewed partition changes the join's output
+        # partitioning, which would force an extra shuffle for the
+        # downstream aggregate — AQE then skips the split unless told
+        # the straggler is worse than the extra shuffle (it is):
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        joined = left.join(right, "k").groupBy("tag").count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
