@@ -862,3 +862,58 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("redaction_delta"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Lexicon sentiment scoring (SURVEY §7.2 M6, after the EDBT'16
+# Spark-Twitter pipeline's dictionary approach): counts over fixed
+# polarity word sets — one projection + aggregate, no model.
+
+_POS_SET = "('fast','small')"
+_NEG_SET = "('slow','big')"
+
+
+@query(
+    "doc_sentiment_summary",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter({_TOKENS.format(c="text")}, w -> w IN {_POS_SET})) AS pos,
+             len(list_filter({_TOKENS.format(c="text")}, w -> w IN {_NEG_SET})) AS neg
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN pos > neg THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           CAST(SUM(CASE WHEN neg > pos THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           CAST(SUM(CASE WHEN pos = neg THEN 1 ELSE 0 END) AS BIGINT) AS n_neutral,
+           CAST(SUM(pos) AS BIGINT) AS total_pos_hits,
+           CAST(SUM(neg) AS BIGINT) AS total_neg_hits
+    FROM scored GROUP BY lang
+    """,
+    tags=("text", "sentiment"),
+)
+def doc_sentiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary sentiment per language: polarity = sign of
+    (positive-hit − negative-hit) token counts per document, aggregated
+    to per-language counts. Integer-exact end to end; the lexicon rides
+    in the expression (a broadcast lookup at real scale). Per-row work
+    is two array filters over the one materialized token array —
+    streamable, no shuffle before the aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens("text")
+    pos = F.size(F.filter(toks, lambda w: w.isin("fast", "small")))
+    neg = F.size(F.filter(toks, lambda w: w.isin("slow", "big")))
+    scored = docs.select("lang", pos.alias("pos"), neg.alias("neg"))
+    return scored.groupBy("lang").agg(
+        F.sum(F.when(F.col("pos") > F.col("neg"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("neg") > F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+        F.sum(F.when(F.col("pos") == F.col("neg"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neutral"),
+        F.sum("pos").cast("bigint").alias("total_pos_hits"),
+        F.sum("neg").cast("bigint").alias("total_neg_hits"),
+    )
