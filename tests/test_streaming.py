@@ -327,3 +327,35 @@ def test_transform_with_state_change_detection(spark, tmp_path):
     assert ("B", "t2", "changed") in allrows
     assert ("C", "t1", "new") in allrows
     assert len([r for r in allrows if r[0] == "A"]) == 1
+
+
+def test_python_streaming_datasource_incremental_batches(spark, tmp_path):
+    """The custom source's STREAMING face: the hotel work list drains
+    in offset-tracked micro-batches (exactly-once cursor checkpointed
+    by the engine), failures surfacing as status rows — the reference's
+    poll-and-move loop (ST3) as a first-class readStream format."""
+    from webscrap_datapipeline_spark.sources.report_datasource import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt_ds")
+    stream = (
+        spark.readStream.format("hotel_reports")
+        .option("hotels", "ALPHA,BRAVO,CHARLIE,ZULU,DELTA")
+        .option("batchSize", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hotel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["hotel_cd"]: r for r in spark.sql("select * from hotel_stream").collect()}
+    finally:
+        q.stop()
+    assert set(rows) == {"ALPHA", "BRAVO", "CHARLIE", "ZULU", "DELTA"}
+    assert rows["ZULU"]["fetch_status"] == "error:unreachable"
+    assert all(r["n_rows"] > 0 for h, r in rows.items() if h != "ZULU")

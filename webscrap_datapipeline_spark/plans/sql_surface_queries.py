@@ -903,3 +903,41 @@ def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("stddev_value"),
     )
+
+
+# ----------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse once into the binary
+# variant encoding, extract typed paths — the schema-on-read path that
+# replaces per-query JSON string re-parsing (shredded storage upstream
+# of columnar engines). Oracle: DuckDB JSON path extraction computes
+# the same typed values.
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("variant", "semi-structured", "agg"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props parsed into a VARIANT column (parse_json — Spark 4's
+    binary semi-structured encoding, parsed ONCE per row) with typed
+    path extraction via variant_get, aggregated per bucket. At scale
+    the variant column would be materialized at ingest so analytic
+    queries never touch JSON text at all; this is that read path."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_SCHEMA = (
@@ -85,6 +90,41 @@ class HotelReportsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return HotelReportsReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return HotelReportsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(HotelReportsDataSource)
+
+
+class HotelReportsStreamReader(SimpleDataSourceStreamReader):
+    """Incremental micro-batch source (ST3's engine-grade form): each
+    micro-batch emits the next ``batch_size`` hotels from the work
+    list; the offset {"i": N} is the exactly-once cursor the engine
+    checkpoints — a crash replays from the committed offset instead of
+    re-fetching everything (the reference's file-move bookkeeping,
+    src/utils.py:107, reinvented as source offsets)."""
+
+    def __init__(self, options: dict):
+        self.hotels = [h for h in options.get("hotels", "").split(",") if h]
+        self.batch_size = int(options.get("batchsize", "2"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = start["i"]
+        batch = self.hotels[i : i + self.batch_size]
+        rows = []
+        for hotel in batch:
+            ts, n, payload, status = synthetic_fetcher(hotel)
+            rows.append((hotel, ts, n, payload, status))
+        return iter(rows), {"i": i + len(batch)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for hotel in self.hotels[start["i"] : end["i"]]:
+            ts, n, payload, status = synthetic_fetcher(hotel)
+            rows.append((hotel, ts, n, payload, status))
+        return iter(rows)
