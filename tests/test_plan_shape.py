@@ -344,3 +344,34 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_analyze_table_populates_stats_for_cbo(spark, tmp_path):
+    """Table + column statistics (ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR COLUMNS) must land in the catalog — the inputs Spark's
+    cost-based optimizer uses for join reordering and build-side choice
+    when AQE's runtime stats aren't available yet (first run over a
+    table). Row count and column distinct-count both present."""
+    spark.sql("DROP TABLE IF EXISTS stats_orders")
+    load_table(spark, "orders", SF_SMALL).write.option(
+        "path", str(tmp_path / "stats_orders")
+    ).saveAsTable("stats_orders")
+    try:
+        spark.sql(
+            "ANALYZE TABLE stats_orders COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        )
+        row_desc = spark.sql("DESCRIBE TABLE EXTENDED stats_orders").collect()
+        stats_line = {r["col_name"]: r["data_type"] for r in row_desc}.get(
+            "Statistics", ""
+        )
+        assert "rows" in stats_line, row_desc
+        col_desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED stats_orders o_custkey"
+            ).collect()
+        }
+        assert col_desc.get("distinct_count") not in (None, "NULL"), col_desc
+        assert int(col_desc["distinct_count"]) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_orders")

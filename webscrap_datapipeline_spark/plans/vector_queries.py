@@ -280,3 +280,54 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         emb.unpersist()
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label, d.i AS dim, d.x AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                           unnest(embedding) AS x) d
+    ), per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS m
+      FROM comps GROUP BY label, dim
+    )
+    SELECT label,
+           list(round(m, 6) ORDER BY dim) AS centroid,
+           CAST(MAX(dim) AS INT) AS dim_count
+    FROM per_dim GROUP BY label
+    """,
+    tags=("vector", "agg", "centroid"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label — the vector-aggregate shape
+    (class prototypes / cluster seeding). posexplode fans each vector
+    into (dim, component) rows that partially aggregate map-side, so
+    the shuffle carries labels × dims rows, not vectors; the centroid
+    is reassembled ordered-by-dim. Components accumulate as DECIMAL(20,8)
+    — both engines round each float32 to the same 8-decimal value, so
+    the sum is order-independent and identical — with ONE double
+    division per dim, then a 6-digit round."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.round("m", 6).alias("m")))
+            ),
+            lambda s: s["m"],
+        ).alias("centroid"),
+        F.max("dim").cast("int").alias("dim_count"),
+    )
