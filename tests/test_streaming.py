@@ -359,3 +359,64 @@ def test_python_streaming_datasource_incremental_batches(spark, tmp_path):
     assert set(rows) == {"ALPHA", "BRAVO", "CHARLIE", "ZULU", "DELTA"}
     assert rows["ZULU"]["fetch_status"] == "error:unreachable"
     assert all(r["n_rows"] > 0 for h, r in rows.items() if h != "ZULU")
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: in append mode a windowed
+    aggregate emits a window only once the watermark passes its end,
+    and an event arriving AFTER the watermark has passed its window is
+    dropped — the bounded-state contract that lets a 100 TB/day stream
+    run with finite memory. (Watermark advances between micro-batches
+    from the previous batch's max event time, so the sequence below is
+    deterministic under processAllAvailable.)"""
+    from webscrap_datapipeline_spark.streaming.windows import tumbling_counts
+
+    src_dir = str(tmp_path / "late_ev")
+    ckpt = str(tmp_path / "ckpt_late")
+    schema = "ts timestamp, event_type string, value double"
+    # batch 1: one early window + an event far ahead that will push the
+    # watermark beyond the early window's end
+    _write_events_json(
+        src_dir,
+        [
+            '{"ts": "2024-01-01T00:01:00", "event_type": "click", "value": 1.0}',
+            '{"ts": "2024-01-01T02:00:00", "event_type": "click", "value": 1.0}',
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(src_dir)
+    q = (
+        tumbling_counts(stream, window="10 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late event for the long-closed 00:00 window plus a
+        # fresh one; the late event must NOT change any emitted window
+        _write_events_json(
+            src_dir,
+            [
+                '{"ts": "2024-01-01T00:02:00", "event_type": "click", "value": 99.0}',
+                '{"ts": "2024-01-01T02:05:00", "event_type": "click", "value": 1.0}',
+            ],
+        )
+        q.processAllAvailable()
+        # batch 3: advance watermark past 02:10 so remaining windows emit
+        _write_events_json(
+            src_dir,
+            ['{"ts": "2024-01-01T03:00:00", "event_type": "click", "value": 1.0}'],
+        )
+        q.processAllAvailable()
+        got = {
+            r["window_start"].isoformat(): r["n_events"]
+            for r in spark.sql("select * from late_test").collect()
+        }
+    finally:
+        q.stop()
+    # the 00:00 window was finalized with ONE event — the late 00:02
+    # arrival (batch 2, after the watermark passed 00:10) left no trace
+    assert got.get("2024-01-01T00:00:00") == 1, got
+    assert "2024-01-01T02:00:00" in got
