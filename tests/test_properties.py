@@ -178,3 +178,37 @@ def test_contiguous_ids_match_sorted_enumeration(spark, keys):
     }
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+# ----------------------------------------------------------------------------
+# Partitioning-independence: the registry's determinism rules (DECIMAL
+# accumulation, closed-form power sums, explicit rounding boundaries)
+# exist so results don't depend on HOW data is partitioned. Enforced by
+# running the float-heaviest queries under a very different shuffle
+# width and requiring bit-identical rows.
+
+_FLOAT_SENSITIVE = [
+    "pricing_summary",
+    "promo_revenue_share",
+    "value_dispersion_by_type",
+    "tfidf_top_terms",
+    "label_centroids",
+    "incremental_agg_maintenance",
+]
+
+
+def test_results_independent_of_shuffle_partitioning(spark):
+    from webscrap_datapipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in _FLOAT_SENSITIVE:
+        fn = REGISTRY[name].fn
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            wide = sorted(map(tuple, fn(spark, sf).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            narrow = sorted(map(tuple, fn(spark, sf).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+        assert wide == narrow, f"{name} varies with partitioning"
