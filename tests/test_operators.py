@@ -1050,3 +1050,43 @@ def test_python_datasource_hotel_reports(spark):
     # scan honors a downstream filter + projection without error
     sel = df.filter(F.col("fetch_status") == "ok").select("hotel_cd", "n_rows")
     assert sel.count() == 4
+
+
+def test_incremental_lsh_candidates_against_stored_index(spark):
+    """Incremental dedup: a new batch containing (a) a near-copy of a
+    corpus doc and (b) two near-identical new docs must surface both —
+    via the stored band index for (a), via batch-self banding for (b) —
+    while signaturing ONLY the new batch."""
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+        minhash_signatures,
+    )
+
+    corpus = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    index = lsh_band_index(minhash_signatures(corpus, "text", "doc_id"))
+    # new batch: doc 900001 = exact copy of corpus doc 3; docs 900002/3
+    # exact copies of each other; 900004 unrelated
+    base3 = corpus.filter(F.col("doc_id") == 3).collect()[0]["text"]
+    new_rows = [
+        (900001, base3),
+        (900002, "alpha beta gamma delta epsilon zeta eta theta " * 5),
+        (900003, "alpha beta gamma delta epsilon zeta eta theta " * 5),
+        (900004, "totally different words nothing shared here at all " * 4),
+    ]
+    new_docs = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(
+            index, new_docs, "text", "doc_id"
+        ).collect()
+    }
+    assert (900001, 3) in pairs
+    assert (900002, 900003) in pairs
+    # the unrelated doc pairs with nothing
+    assert not any(900004 in p for p in pairs)

@@ -258,8 +258,29 @@ def minhash_lsh_candidates(
     pairs. Buckets turn into posting lists (groupBy band+bucket →
     sorted doc list → a<b fan-out → distinct): one shuffle + one
     distinct, no self-join, no n²."""
+    banded = lsh_band_index(signatures, bands, rows_per_band)
+    posting = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    return (
+        posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_band_index(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Persistable LSH index: one (doc, band, bucket) row per band —
+    what a production dedup service stores between runs (partitioned by
+    band/bucket on disk). ``minhash_lsh_candidates`` is this index
+    turned into pairs all-at-once; the incremental path joins NEW docs
+    against this instead."""
     assert bands * rows_per_band <= 64
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         F.explode(
             F.array(
@@ -273,7 +294,9 @@ def minhash_lsh_candidates(
                                 F.concat_ws(
                                     ",",
                                     F.slice(
-                                        F.col("signature"), band * rows_per_band + 1, rows_per_band
+                                        F.col("signature"),
+                                        band * rows_per_band + 1,
+                                        rows_per_band,
                                     ),
                                 ),
                             )
@@ -284,13 +307,35 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    posting = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+
+
+def incremental_lsh_candidates(
+    corpus_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dup detection — the reference's only-changed-keys
+    discipline (README.md:21-24) applied to dedup: signature+band ONLY
+    the new batch, equi-join its (band, bucket) keys against the stored
+    corpus index, emit (new_doc, corpus_doc) candidate pairs. Cost
+    scales with |new batch| × bands, never with the corpus; the corpus
+    side is a pre-partitioned index scan (bucket-join co-location at
+    real scale). New-vs-new dups inside the batch are caught by the
+    batch's own banding (same index, self-pairs)."""
+    sigs = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
+    new_idx = lsh_band_index(sigs, bands, rows_per_band)
+    corpus = corpus_index.select(
+        F.col("doc").alias("corpus_doc"), "band", "bucket"
     )
-    return (
-        posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+    vs_corpus = (
+        new_idx.join(corpus, ["band", "bucket"])
+        .filter(F.col("doc") != F.col("corpus_doc"))
+        .select(F.col("doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b"))
     )
+    vs_self = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    return vs_corpus.unionByName(vs_self).distinct()
