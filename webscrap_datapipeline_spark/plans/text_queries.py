@@ -917,3 +917,58 @@ def doc_sentiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("total_pos_hits"),
         F.sum("neg").cast("bigint").alias("total_neg_hits"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Corpus mixing: per-source sampling fractions to hit a target token
+# mixture — the data-mixture step between curation and training. The
+# plan (shares + fractions) is exact arithmetic, fully oracled; the
+# sampled corpus itself is seeded-RNG rows-only territory (sampleBy,
+# cf. stratified_event_sample).
+
+
+@query(
+    "corpus_mix_plan",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(SUM(len({_TOKENS.format(c="text")})) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM counts
+    )
+    SELECT lang,
+           lang_tokens,
+           CAST(lang_tokens AS DOUBLE) / total_tokens AS current_share,
+           1.0 / n_langs AS target_share,
+           least(1.0, (1.0 / n_langs) / (CAST(lang_tokens AS DOUBLE) / total_tokens))
+               AS sample_fraction
+    FROM counts, tot
+    """,
+    tags=("mixing", "training-data", "agg"),
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sampling plan for a uniform per-language token mixture:
+    current token share per language vs the uniform target, and the
+    per-language keep-fraction (capped at 1 — an under-represented
+    language is never up-sampled here, matching standard mixture
+    practice of capping epochs at 1 for small sources). Two aggregates
+    (per-lang counts + 1-row total broadcast) — the plan stays exact
+    integer/IEEE arithmetic so both engines emit identical fractions;
+    feeding it into ``sampleBy`` is the seeded rows-only step."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(
+        F.sum(TX.token_count("text")).cast("bigint").alias("lang_tokens")
+    )
+    tot = counts.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    cur = F.col("lang_tokens").cast("double") / F.col("total_tokens")
+    tgt = F.lit(1.0) / F.col("n_langs")
+    return counts.join(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        cur.alias("current_share"),
+        tgt.alias("target_share"),
+        F.least(F.lit(1.0), tgt / cur).alias("sample_fraction"),
+    )
