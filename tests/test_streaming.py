@@ -420,3 +420,41 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # arrival (batch 2, after the watermark passed 00:10) left no trace
     assert got.get("2024-01-01T00:00:00") == 1, got
     assert "2024-01-01T02:00:00" in got
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow — the reference's hourly scheduled run as a
+    streaming trigger: start, drain everything currently available
+    (across as many micro-batches as needed), commit offsets, stop.
+    Re-running later picks up only NEW files from the checkpoint — the
+    scrape-hourly/process-incrementally contract with engine-managed
+    bookkeeping instead of the state JSON."""
+    src_dir = str(tmp_path / "hourly")
+    ckpt = str(tmp_path / "ckpt_avnow")
+    out = str(tmp_path / "avnow_out")
+    _write_events_json(src_dir, ['{"key": "A", "v": 1.0}', '{"key": "B", "v": 2.0}'])
+    schema = "key string, v double"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # forces multiple micro-batches
+            .json(src_dir)
+            .writeStream.format("parquet")  # file sink supports resume;
+            # the memory sink refuses checkpoint recovery by design
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # the trigger self-terminates when drained
+        return sorted(r["key"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == ["A", "B"]
+    # "next hour": two more files land; the next scheduled drain resumes
+    # from the committed offset and appends ONLY the new keys
+    _write_events_json(src_dir, ['{"key": "C", "v": 3.0}'])
+    _write_events_json(src_dir, ['{"key": "D", "v": 4.0}'])
+    assert drain() == ["A", "B", "C", "D"]
