@@ -1090,3 +1090,59 @@ def test_incremental_lsh_candidates_against_stored_index(spark):
     assert (900002, 900003) in pairs
     # the unrelated doc pairs with nothing
     assert not any(900004 in p for p in pairs)
+
+
+def test_schema_drift_detection_kinds(spark):
+    from pyspark.sql import types as T
+
+    from webscrap_datapipeline_spark.sources.validation import schema_drift
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), True),
+        ]
+    )
+    actual = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),  # nullability tightened
+            T.StructField("price", T.StringType(), True),  # type changed
+            T.StructField("surprise", T.IntegerType(), True),  # extra
+        ]  # name: missing
+    )
+    found = {(d.kind, d.column) for d in schema_drift(actual, expected)}
+    assert found == {
+        ("missing", "name"),
+        ("type_changed", "price"),
+        ("nullability_tightened", "id"),
+        ("extra", "surprise"),
+    }
+    assert schema_drift(expected, expected) == []
+
+
+def test_quarantine_splits_with_all_violation_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.sources.validation import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "US"), (2, -5.0, "US"), (3, 7.0, "??"), (4, -1.0, "??")],
+        ["id", "amount", "country"],
+    )
+    valid, bad = quarantine(
+        df,
+        {
+            "amount_nonneg": F.col("amount") >= 0,
+            "country_known": F.col("country") != "??",
+        },
+    )
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    got = {r["id"]: sorted(r["_violations"]) for r in bad.collect()}
+    assert got == {
+        2: ["amount_nonneg"],
+        3: ["country_known"],
+        4: ["amount_nonneg", "country_known"],
+    }
+    # the split is lossless
+    assert valid.count() + bad.count() == df.count()
