@@ -132,3 +132,31 @@ def test_missing_file_gets_null_log_row(spark, workspace):
         workspace["state"], workspace["warehouse"], workspace["log"],
     )
     assert res2.changed_keys == 1  # CHARLIE still pending
+
+
+def test_pipeline_quarantine_stage_diverts_bad_rows(spark, workspace, tmp_path):
+    """Optional quarantine stage: rows violating load rules leave the
+    warehouse path as data (with reasons) — never silently swallowed
+    (the reference's per-row try/except, ST4) and never loaded."""
+    _write_raw(workspace["raw"], "ALPHA", "08132026_10-00-00", 5)
+    available = _available(spark, [("ALPHA", "2026-08-13T10")])
+    qpath = str(tmp_path / "quarantine.parquet")
+
+    res = run_incremental(
+        spark, available, workspace["raw"] + "/*.csv",
+        workspace["state"], workspace["warehouse"], workspace["log"],
+        quarantine_rules={
+            # fixture writes rates 100..104 — quarantine the two above 102
+            "rate_in_band": F.col("RATE_USD") <= 102.0,
+        },
+        quarantine_path=qpath,
+    )
+    assert res.quarantined_rows == 2
+    assert res.loaded_rows == 3
+    bad = spark.read.parquet(qpath)
+    assert bad.count() == 2
+    assert set(bad.select(F.explode("_violations")).toDF("v").distinct().toPandas()["v"]) == {
+        "rate_in_band"
+    }
+    wh = spark.read.parquet(workspace["warehouse"])
+    assert wh.filter(F.col("RATE_USD") > 102.0).count() == 0

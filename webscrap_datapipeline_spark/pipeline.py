@@ -28,6 +28,7 @@ from .operators.log_table import build_log_table
 from .operators.scd import apply_current_flag
 from .sources.csv_reports import read_raw_reports
 from .sources.state_store import commit_state, read_state
+from .sources.validation import quarantine
 
 
 @dataclass
@@ -35,6 +36,7 @@ class PipelineResult:
     changed_keys: int
     loaded_rows: int
     log_rows: int
+    quarantined_rows: int = 0
 
 
 def run_incremental(
@@ -44,6 +46,8 @@ def run_incremental(
     state_path: str,
     warehouse_path: str,
     log_path: str,
+    quarantine_rules: dict | None = None,
+    quarantine_path: str | None = None,
 ) -> PipelineResult:
     """One incremental cycle. ``available`` is the already-fetched source
     listing (the scrape scaffold produces it in production; tests build it
@@ -60,6 +64,18 @@ def run_incremental(
     enriched = enrich_reports(raw).join(
         F.broadcast(changed.select(F.col("key").alias("LOC_ID"))), "LOC_ID", "left_semi"
     )
+
+    # Optional row quarantine (ST4 generalized): rule violations leave
+    # the load path as DATA (reprocessable, with reasons) instead of
+    # being swallowed like the reference's per-row try/except.
+    n_quarantined = 0
+    if quarantine_rules:
+        enriched, bad = quarantine(enriched, quarantine_rules)
+        if quarantine_path is not None:
+            bad.write.mode("append").parquet(quarantine_path)
+            n_quarantined = spark.read.parquet(quarantine_path).count()
+        else:
+            n_quarantined = bad.count()
 
     # Warehouse append with SCD current-flag maintenance (K5+K3).
     if os.path.exists(warehouse_path):
@@ -111,7 +127,7 @@ def run_incremental(
     commit_state(new_state, state_path)
 
     changed.unpersist()
-    return PipelineResult(n_changed, loaded, n_log)
+    return PipelineResult(n_changed, loaded, n_log, n_quarantined)
 
 
 def _swap(path: str, staging: str) -> None:
