@@ -115,13 +115,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in EXPECTED_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(EXPECTED_SCHEMAS)}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts ships as parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long ns-since-epoch.
-    # Truncate to µs (identical to DuckDB's native ns→µs handling).
+    # Timestamp columns may ship as parquet TIMESTAMP(NANOS) (arrives as
+    # long ns-since-epoch under spark.sql.legacy.parquet.nanosAsLong) or as
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ).
+    # Normalize both to TimestampType — identity under the UTC session
+    # timezone, and identical to DuckDB's handling of the same files.
     for fld in df.schema.fields:
         expected = dict(EXPECTED_SCHEMAS[name]).get(fld.name)
-        if isinstance(expected, T.TimestampType) and isinstance(fld.dataType, T.LongType):
-            df = df.withColumn(fld.name, F.timestamp_micros(F.expr(f"{fld.name} div 1000")))
+        if isinstance(expected, T.TimestampType):
+            if isinstance(fld.dataType, T.LongType):
+                df = df.withColumn(fld.name, F.timestamp_micros(F.expr(f"{fld.name} div 1000")))
+            elif isinstance(fld.dataType, T.TimestampNTZType):
+                df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 
