@@ -46,11 +46,21 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
     # read as long (the catalog converts long-ns → µs timestamps). The
     # driver builds its own SparkSession, so set it here too.
+    #
+    # Failures are LOUD on purpose: a silently-rejected conf means every
+    # timestamp-bearing query would produce subtly wrong values (round-1
+    # postmortem, VERDICT.md "What's wrong" #1) — a visible error beats a
+    # silent hash mismatch.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - depends on host session
+        raise RuntimeError(
+            "SparkSession rejected a required conf "
+            "(spark.sql.legacy.parquet.nanosAsLong=true, "
+            "spark.sql.session.timeZone=UTC); timestamp results would be "
+            f"unreliable: {exc}"
+        ) from exc
 
 
 def _with_conf(fn):

@@ -124,6 +124,105 @@ def test_minhash_lsh_recall_of_high_jaccard_pairs(spark):
     assert high <= cands
 
 
+def test_fetch_partitioned_http_adapter_real_socket(spark):
+    """The per-partition init/retry contract proven against a real HTTP
+    socket (urllib opener as the injected session), not a synthetic
+    callable — the reference's download-with-retry
+    (src/web_scrape.py:96-111,128-178) minus Selenium. A flaky endpoint
+    503s on first hit and recovers: the retry must happen ON THE WIRE
+    (server-side hit counter = 2), and a 404 must become a failed status
+    row, never a task failure."""
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits: dict[str, int] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            key = self.path.strip("/")
+            hits[key] = hits.get(key, 0) + 1
+            if key == "missing":
+                self.send_error(404)
+                return
+            if key == "flaky" and hits[key] == 1:
+                self.send_error(503)
+                return
+            body = f"payload-{key}".encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        keys = spark.createDataFrame([("alpha",), ("flaky",), ("missing",)], ["k"])
+
+        def factory():
+            return urllib.request.build_opener()
+
+        def fetch(opener, key):
+            with opener.open(f"http://127.0.0.1:{port}/{key}", timeout=5) as r:
+                return r.read().decode()
+
+        out = {
+            r["key"]: r
+            for r in fetch_partitioned(
+                keys,
+                "k",
+                factory,
+                fetch,
+                policy=RetryPolicy(tries=2, delay=0.05, backoff=1.0),
+                num_partitions=2,
+            ).collect()
+        }
+        assert out["alpha"]["status"] == "ok"
+        assert out["alpha"]["payload"] == "payload-alpha"
+        assert out["flaky"]["status"] == "ok"
+        assert out["flaky"]["attempts"] == 2
+        assert hits["flaky"] == 2  # the retry really crossed the socket
+        assert out["missing"]["status"] == "failed"
+        assert "404" in out["missing"]["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_jaccard_shingle_cap_kills_boilerplate_pairs(spark):
+    """The max_shingle_freq cap (the 100 TB quadratic-blowup guard, now
+    the oracled path — round-1 verdict item 3): shingles whose posting
+    list exceeds the cap must never reach pair fan-out. Docs related ONLY
+    through over-cap boilerplate lose their pairs; pairs sharing rare
+    shingles survive, with the intersection counted over capped shingles
+    but sizes over the full distinct-shingle sets."""
+    boiler = "click here to subscribe to our newsletter today"
+    near_a = " ".join(f"alpha{i}" for i in range(20))
+    rows = [
+        (1, near_a + " " + boiler),
+        (2, near_a + " extra tail " + boiler),
+    ] + [
+        (10 + i, f"unique{i} stuff{i} filler{i} words{i} " + boiler)
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, "text", "doc_id", max_shingle_freq=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, "text", "doc_id", max_shingle_freq=10).collect()
+    }
+    boiler_pairs = {p for p in uncapped if p[0] >= 10}  # related only via boilerplate
+    assert boiler_pairs, "fixture must generate boilerplate-only pairs"
+    assert (1, 2) in uncapped and (1, 2) in capped  # rare-shingle pair survives
+    assert capped & boiler_pairs == set()  # over-cap shingles generate nothing
+
+
 def test_fetch_partitioned_retry_and_status(spark):
     keys = spark.createDataFrame([("A",), ("B",), ("FAIL",)], ["k"])
     calls: dict[str, int] = {}
@@ -231,6 +330,76 @@ def test_multimodal_decoder_contract_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         default_decoder("image", b"payload")
+
+
+def test_ivf_trained_centroids_balance_and_recall_on_sorted_corpus(spark):
+    """Round-1 verdict item: "k lowest-id vectors as centroids" is
+    degenerate on a sorted/label-clustered corpus — every seed lands in
+    one region, one hot cell absorbs the rest of the corpus (skew at
+    scale) and recall craters. The hash-scattered + Lloyd-refined seeds
+    must (a) keep cells balanced on exactly that corpus shape and
+    (b) agree with brute force on top-1."""
+    import hashlib
+
+    from webscrap_datapipeline_spark.operators.clustering import (
+        hash_sample_vectors,
+        kmeans_fit,
+    )
+    from webscrap_datapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    dim = 8
+
+    def noise(i: int, j: int, scale: float = 0.5) -> float:
+        h = hashlib.md5(f"{i}|{j}".encode()).digest()
+        return (h[0] / 255.0 - 0.5) * 2 * scale
+
+    centers = [[10.0 if d == c else 0.0 for d in range(dim)] for c in range(3)]
+    rows = []
+    vid = 0
+    for c in range(3):  # ids grouped by cluster == worst-case sorted corpus
+        for _ in range(50):
+            rows.append((vid, [centers[c][d] + noise(vid, d) for d in range(dim)]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [
+            (q, [centers[q % 3][d] + noise(1000 + q, d) for d in range(dim)])
+            for q in range(9)
+        ],
+        ["query_id", "query_vec"],
+    )
+
+    seeds = hash_sample_vectors(corpus, "embedding", "vec_id", 6)
+    trained, _ = kmeans_fit(
+        corpus.select("vec_id", "embedding"),
+        "embedding",
+        "vec_id",
+        k=6,
+        iters=2,
+        init_centroids=seeds,
+    )
+    sizes = [
+        r["count"]
+        for r in ivf_assign(corpus, "embedding", list(enumerate(trained)))
+        .groupBy("cid")
+        .count()
+        .collect()
+    ]
+    assert max(sizes) <= 75, f"hot cell: {sorted(sizes)}"  # ≤50% of corpus
+
+    bf = {r["query_id"]: r["vec_id"] for r in brute_force_topk(corpus, queries, k=1).collect()}
+    ivf = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(
+            corpus, queries, k=1, n_centroids=6, nprobe=3, train_iters=2
+        ).collect()
+    }
+    agree = sum(1 for q in bf if ivf.get(q) == bf[q])
+    assert agree >= 8, f"top-1 agreement {agree}/9 (bf={bf}, ivf={ivf})"
 
 
 def test_ivf_topk_finds_planted_near_dups(spark):

@@ -160,3 +160,53 @@ def test_pipeline_quarantine_stage_diverts_bad_rows(spark, workspace, tmp_path):
     }
     wh = spark.read.parquet(workspace["warehouse"])
     assert wh.filter(F.col("RATE_USD") > 102.0).count() == 0
+
+
+def test_scd_upsert_partitioned_rewrites_only_touched_buckets(spark, tmp_path):
+    """Partition-scoped SCD (round-1 verdict item 6): an incoming batch
+    must rewrite ONLY the hash buckets containing its keys — every
+    parquet byte in untouched partition dirs stays identical — while the
+    flag protocol still matches apply_current_flag semantics globally."""
+    import hashlib
+
+    from webscrap_datapipeline_spark.operators.scd import scd_upsert_partitioned
+
+    target = str(tmp_path / "scd_target")
+    n_buckets = 8
+    keys = ["A", "B", "C", "D", "E", "F"]
+    initial = spark.createDataFrame(
+        [(k, 1, f"v1-{k}") for k in keys], ["k", "ts", "payload"]
+    )
+    scd_upsert_partitioned(
+        spark, initial, target, key="k", ts="ts", n_buckets=n_buckets
+    )
+
+    def bucket_files():
+        out = {}
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, target)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = bucket_files()
+    batch = spark.createDataFrame([("A", 2, "v2-A")], ["k", "ts", "payload"])
+    touched = scd_upsert_partitioned(
+        spark, batch, target, key="k", ts="ts", n_buckets=n_buckets
+    )
+    assert len(touched) == 1
+    touched_dir = f"__bucket={touched[0]}"
+    after = bucket_files()
+
+    untouched_before = {p: h for p, h in before.items() if not p.startswith(touched_dir)}
+    untouched_after = {p: h for p, h in after.items() if not p.startswith(touched_dir)}
+    assert untouched_before == untouched_after  # byte-identical, not rewritten
+
+    wh = spark.read.parquet(target)
+    cur = {r["k"]: r["payload"] for r in wh.filter(F.col("CURRENT_IND") == "Y").collect()}
+    assert cur["A"] == "v2-A"  # new version flagged current
+    assert {cur[k] for k in "BCDEF"} == {f"v1-{k}" for k in "BCDEF"}
+    old_a = wh.filter((F.col("k") == "A") & (F.col("CURRENT_IND").isNull())).collect()
+    assert len(old_a) == 1 and old_a[0]["payload"] == "v1-A"  # history kept, de-flagged

@@ -126,7 +126,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             if isinstance(fld.dataType, T.LongType):
                 df = df.withColumn(fld.name, F.timestamp_micros(F.expr(f"{fld.name} div 1000")))
             elif isinstance(fld.dataType, T.TimestampNTZType):
-                df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
+                # NOT a plain cast("timestamp"): that interprets the NTZ
+                # wall-clock in the *session* timezone, so a non-UTC driver
+                # session (or a conf set that silently failed) would shift
+                # instants relative to the DuckDB oracle — and DST would
+                # shift two columns by *different* amounts, flipping
+                # interval-boundary rows. (to_utc_timestamp is no better:
+                # Spark implicitly casts NTZ→TS with the session tz first.)
+                # Field extraction from NTZ is tz-free, and make_timestamp
+                # with an explicit 'UTC' zone is session-tz-independent.
+                c = fld.name
+                df = df.withColumn(
+                    c,
+                    F.expr(
+                        f"make_timestamp(year(`{c}`), month(`{c}`), day(`{c}`),"
+                        f" hour(`{c}`), minute(`{c}`),"
+                        f" cast(extract(SECOND FROM `{c}`) as decimal(8,6)), 'UTC')"
+                    ),
+                )
     return df
 
 

@@ -14,9 +14,13 @@ Spark-first shape (no RDDs, no ml-lib dependency):
     that ever reaches the driver, once per iteration — the same
     communication pattern ml-lib uses, minus its RDD machinery.
 
-Determinism: init = the vectors of the k smallest ids (no RNG), fixed
-iteration count, and a cid tiebreak on equal distances — two runs on the
-same data produce identical assignments.
+Determinism: init = a hash-scattered deterministic sample (no RNG —
+order by xxhash64(id), take k), fixed iteration count, and a cid
+tiebreak on equal distances — two runs on the same data produce
+identical assignments. Hash-scatter matters on sorted/clustered
+corpora: "the k lowest ids" would draw every seed from one region of
+the data (all seeds in one true cluster → most clusters start and stay
+empty); hashing the id decorrelates the sample from any storage order.
 """
 
 from __future__ import annotations
@@ -25,6 +29,20 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def hash_sample_vectors(df: DataFrame, vec_col: str, id_col: str, k: int) -> list[list[float]]:
+    """k vectors sampled deterministically but scattered across the
+    corpus: order by xxhash64(id) (id tiebreak), take k. A top-k, not a
+    full sort — per-partition heads merge on the driver, so it holds at
+    any corpus size."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
 
 
 def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
@@ -58,14 +76,14 @@ def kmeans_fit(
     id_col: str,
     k: int = 10,
     iters: int = 8,
+    init_centroids: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's algorithm: returns (centroids, assignments df with
     ``cluster`` column). ``df`` is cached by the caller if it is
-    expensive to recompute — each iteration scans it once."""
-    init_rows = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    expensive to recompute — each iteration scans it once.
+    ``init_centroids`` overrides the default hash-scattered sample
+    (callers that already hold seeds, e.g. IVF refinement)."""
+    centroids = init_centroids or hash_sample_vectors(df, vec_col, id_col, k)
     for _ in range(iters):
         assigned = _assign(df, vec_col, centroids)
         new_rows = (

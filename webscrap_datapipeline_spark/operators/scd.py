@@ -12,7 +12,9 @@ src/process_files.py:50) re-expressed two ways per SURVEY.md §2.6:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -61,3 +63,60 @@ def apply_current_flag(
     return combined.withColumn(
         flag_col, F.when(is_current, F.lit("Y")).otherwise(F.lit(None).cast("string"))
     )
+
+
+def scd_upsert_partitioned(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    key: str,
+    ts: str,
+    flag_col: str = "CURRENT_IND",
+    tiebreak: str | None = None,
+    n_buckets: int = 64,
+    dedupe_exact: bool = True,
+    bucket_col: str = "__bucket",
+) -> list[int]:
+    """Partition-scoped storage-time SCD — reference K5's MERGE semantics
+    (src/gcp_processes.py:29-47) without rewriting the whole target.
+
+    The target is laid out hash-bucketed by key (``bucket_col`` =
+    pmod(xxhash64(key), n_buckets) partition dirs). An incoming batch:
+
+      1. computes its touched buckets (≤ n_buckets ints — driver-sized
+         by construction, never key-cardinality);
+      2. reads back ONLY those buckets (the isin filter prunes at the
+         parquet partition level — at 100 TB the read is proportional to
+         the batch's key spread, not the corpus);
+      3. re-flags existing ∪ incoming via ``apply_current_flag``;
+      4. rewrites ONLY the touched partition dirs via dynamic partition
+         overwrite — untouched partition files stay byte-identical
+         (asserted in tests/test_pipeline_e2e.py).
+
+    The eager localCheckpoint before the write is required, not a
+    convenience: Spark (correctly) refuses to overwrite a path that the
+    write's own plan is still reading; checkpointing the merged slice
+    truncates lineage to an in-memory RDD first. Its size is the touched
+    slice only. Returns the touched bucket ids.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+    inc = incoming.withColumn(bucket_col, bucket)
+    if not os.path.exists(target_path):
+        merged = apply_current_flag(
+            inc.limit(0), inc, key, ts, flag_col, tiebreak, dedupe_exact
+        )
+        merged.write.mode("overwrite").partitionBy(bucket_col).parquet(target_path)
+        return sorted(r[0] for r in inc.select(bucket_col).distinct().collect())
+
+    touched = sorted(r[0] for r in inc.select(bucket_col).distinct().collect())
+    existing = spark.read.parquet(target_path).filter(F.col(bucket_col).isin(touched))
+    merged = apply_current_flag(
+        existing, inc, key, ts, flag_col, tiebreak, dedupe_exact
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(target_path)
+    )
+    return touched

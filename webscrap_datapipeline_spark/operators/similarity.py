@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -140,6 +140,7 @@ def ivf_topk(
     k: int,
     n_centroids: int = 8,
     nprobe: int = 2,
+    train_iters: int = 2,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -149,20 +150,31 @@ def ivf_topk(
     around ``n_centroids`` centroids, search only the ``nprobe`` cells
     nearest each query, rescore candidates with exact cosine.
 
-    Centroid selection here is deterministic (the n lowest-id corpus
-    vectors — a k-means fit or reservoir sample is the production
-    upgrade; the *query shape* is identical either way). Cell assignment
-    is a narrow map stage; the candidate join is equi on cid (probe list
-    exploded to rows), so the shuffle key is an int — never vectors×n².
+    Centroid selection is deterministic but NOT "the n lowest ids": on a
+    sorted/label-clustered corpus that would draw every centroid from one
+    region (all cells collapse onto one Voronoi region → recall craters
+    and one hot cell absorbs the corpus — skew at scale). Seeds come from
+    a hash-scattered sample (order by xxhash64(id), take n — decorrelated
+    from storage order), optionally refined by ``train_iters`` Lloyd's
+    iterations (operators/clustering.kmeans_fit — each iteration is one
+    corpus scan; set 0 to skip training). Cell assignment is a narrow map
+    stage; the candidate join is equi on cid (probe list exploded to
+    rows), so the shuffle key is an int — never vectors×n².
     Recall/cost knob: nprobe (cells searched per query).
     """
-    rows = (
-        corpus.select(corpus_id, corpus_vec)
-        .orderBy(F.col(corpus_id).asc())
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    from .clustering import hash_sample_vectors, kmeans_fit
+
+    vecs = hash_sample_vectors(corpus, corpus_vec, corpus_id, n_centroids)
+    if train_iters > 0:
+        vecs, _ = kmeans_fit(
+            corpus.select(corpus_id, corpus_vec),
+            corpus_vec,
+            corpus_id,
+            k=n_centroids,
+            iters=train_iters,
+            init_centroids=vecs,
+        )
+    centroids = [(cid, c) for cid, c in enumerate(vecs)]
     assigned = ivf_assign(corpus, corpus_vec, centroids)
     probes = queries.withColumn("__probe", _probe_cids(query_vec, centroids, nprobe)).select(
         query_id, query_vec, F.explode("__probe").alias("cid")

@@ -521,7 +521,7 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate) > 5184000000000
     GROUP BY l_returnflag
     """,
     tags=("join", "conditional-agg"),
@@ -530,13 +530,22 @@ def late_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12's signature move: the pivot-by-predicate (SUM of CASE)
     that splits one pass into two counters — no second scan, no second
     join. The >60-day lateness predicate is a join-level condition, so
-    it filters during the join, before the aggregate."""
+    it filters during the join, before the aggregate.
+
+    The lateness gate is written as raw epoch-microsecond arithmetic
+    (``unix_micros`` / ``epoch_us``) rather than ``+ INTERVAL 60 DAYS``:
+    33 join rows at sf0.01 sit exactly on the 60-day boundary, and
+    interval addition on timestamps is calendar/DST-sensitive in a
+    non-UTC session — int64 subtraction compares the same bits in both
+    dialects no matter what the session timezone is (round-1 driver
+    hash-mismatch, CORRECTNESS_r01.json)."""
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    sixty_days_us = 60 * 24 * 3600 * 1_000_000  # 5_184_000_000_000
     return (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .filter(F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate") > F.lit(sixty_days_us))
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

@@ -68,9 +68,27 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_batches",
-    oracle=None,  # features are Python-kernel outputs (byte checksums);
-    # the pytest suite pins them to the deterministic fake_decoder spec.
-    tags=("multimodal", "mapInPandas", "rows-only"),
+    # The fake decoder's 4th feature is sum(payload_bytes) % 997, and the
+    # corpus text is pure ASCII at every SF (checked: octet_length ==
+    # length for all docs; a non-ASCII doc would surface as a loud hash
+    # mismatch, never silent corruption), so DuckDB can replay the Python
+    # kernel exactly: byte sum == sum of per-char code points. This
+    # upgrades the
+    # round-1 "err: no_oracle" row to a full value check of the
+    # mapInPandas decode path (verdict item 5).
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           round(CASE
+             WHEN length(text) = 0 THEN 0.0
+             ELSE (list_aggregate(
+                     list_transform(range(1, length(text) + 1), i -> ord(text[i])),
+                     'sum') % 997)::DOUBLE
+           END, 1) AS checksum_feature
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas"),
 )
 def multimodal_feature_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode/feature-extract surface: every media row through the

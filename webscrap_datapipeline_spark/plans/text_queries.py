@@ -19,6 +19,17 @@ from .registry import query
 _TOKENS = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), w -> w <> '')"
 _STOPSET = "('the','a','of','and','to','in','is','it')"
 
+# Shingle document-frequency cap for Jaccard pair mining — the guard
+# against quadratic pair fan-out on boilerplate shingles ("click here
+# to" in 10M docs would alone generate 10M²/2 pairs). The capped path is
+# the ORACLED path: both dialects drop posting lists longer than this
+# before pair generation, so the driver verifies the 100 TB-safe
+# semantics, not a scale-unsafe uncapped variant. (At the test SFs the
+# max doc-frequency is ~25, so the cap changes nothing numerically —
+# tests/test_operators.py pins the binding-cap behavior on a corpus
+# where it does.)
+_SHINGLE_CAP = 1000
+
 
 @query(
     "token_stats_by_lang",
@@ -129,9 +140,12 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), sizes AS (
       SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), capped AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_SHINGLE_CAP}
     ), inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      JOIN capped c ON c.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -150,7 +164,54 @@ def near_dup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equi-join on shingle is the scale move: candidates come from
     shared shingles only, never an n² document cross join."""
     docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
-    pairs = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=None)
+    pairs = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=_SHINGLE_CAP)
+    return (
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "near_dup_jaccard_capped_binding",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS.format(c="text")}) - 2, 0) + 1),
+               i -> array_to_string(list_slice({_TOKENS.format(c="text")}, i, i + 2), ' ')
+             ))) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), capped AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      JOIN capped c ON c.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "similarity", "cap"),
+)
+def near_dup_jaccard_capped_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same mine as near_dup_jaccard_topk but with a cap (5) LOW enough
+    to actually bind at the test SFs (corpus max shingle doc-frequency is
+    ~7 at sf0.01, ~25 at sf0.1): common shingles really are dropped
+    before pair fan-out on both engines, so the driver value-checks the
+    capped code path in its binding regime — not just a cap set too high
+    to matter. Intersections count only under-cap shingles; sizes stay
+    the full distinct-shingle sets (capped-Jaccard is a lower bound of
+    true Jaccard)."""
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    pairs = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=5)
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
@@ -474,9 +535,12 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), sizes AS (
       SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), capped AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_SHINGLE_CAP}
     ), inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      JOIN capped c ON c.shingle = a.shingle
       GROUP BY 1, 2
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM inter
@@ -508,7 +572,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
-    edges = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=None).filter(
+    edges = DD.jaccard_pairs(docs, "text", "doc_id", n=3, max_shingle_freq=_SHINGLE_CAP).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(edges, "doc_a", "doc_b")
@@ -631,9 +695,12 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM exact_kept
     ), sizes AS (
       SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), capped AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_SHINGLE_CAP}
     ), inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      JOIN capped c ON c.shingle = a.shingle
       GROUP BY 1, 2
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM inter
@@ -699,7 +766,7 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     pairs = DD.jaccard_pairs(
-        exact_kept, "text", "doc_id", n=3, max_shingle_freq=None
+        exact_kept, "text", "doc_id", n=3, max_shingle_freq=_SHINGLE_CAP
     ).filter(F.col("jaccard") >= 0.5)
     survivors = dedup_survivors(exact_kept, pairs, "doc_id", "doc_a", "doc_b")
     return survivors.groupBy("lang").agg(

@@ -228,8 +228,10 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 for 5 query vectors: Voronoi-cell partition around 8
-    deterministic centroids, nprobe=3 cells searched per query, exact
-    cosine rescoring (operators/similarity.ivf_topk). The inverted-file
+    trained centroids (deterministic hash-scattered seeds + 2 Lloyd
+    refinement iterations — never "the k lowest ids", which collapses on
+    sorted corpora), nprobe=3 cells searched per query, exact cosine
+    rescoring (operators/similarity.ivf_topk). The inverted-file
     counterpart to the hyperplane-LSH scale path."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -250,8 +252,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("clustering", "kmeans", "iterative", "rows-only"),
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=10, 6 Lloyd's iterations, deterministic lowest-id
-    init) over the embedding corpus — operators/clustering.kmeans_fit.
+    """K-means (k=10, 6 Lloyd's iterations, deterministic hash-scattered
+    init — order by xxhash64(id), take k: decorrelated from storage
+    order, no RNG) over the embedding corpus —
+    operators/clustering.kmeans_fit.
     Returns per-cluster size and the count of distinct planted labels
     inside each cluster (1 = pure recovery). Each iteration is one scan:
     assignment is codegen'd arithmetic, the centroid update shuffles only
