@@ -59,6 +59,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # the TPC-H-shaped redundancy — fully driver-verified in round 1 — last.
 _MODULE_RANK = {
     "text_queries": 0,
+    "crossmodal_queries": 0,  # cross-channel curation flagship
     "vector_queries": 1,
     "temporal_queries": 2,
     "multimodal_queries": 3,

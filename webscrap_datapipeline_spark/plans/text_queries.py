@@ -173,6 +173,46 @@ def near_dup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_screen",
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS probe_id, substring(text, 10, 40) AS probe
+      FROM documents WHERE doc_id IN (0, 100, 200)
+    )
+    SELECT p.probe_id, d.source, COUNT(*) AS n_hits
+    FROM documents d JOIN probes p ON contains(d.text, p.probe)
+    GROUP BY p.probe_id, d.source
+    """,
+    tags=("text", "decontamination", "containment-join"),
+)
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen — the training-data hygiene step
+    that looks for eval-set strings leaked into the corpus: a small
+    probe set (here: 40-char spans lifted from three corpus docs, so
+    hits are guaranteed and recomputable on both engines) is
+    substring-matched against every document, reporting hits per
+    (probe, source).
+
+    Scale shape: the probe side is tiny and broadcast; the containment
+    predicate makes this an intentional broadcast nested-loop over the
+    corpus scan — one pass, no shuffle of documents, which is exactly
+    how decontamination runs over 100 TB (probes ~10⁴, corpus streams).
+    An Aho-Corasick mapInPandas kernel is the upgrade once the probe
+    set outgrows per-row contains()."""
+    docs = load_table(spark, "documents", sf_dir)
+    probes = docs.filter(F.col("doc_id").isin(0, 100, 200)).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", 10, 40).alias("probe"),
+    )
+    hits = docs.crossJoin(F.broadcast(probes)).filter(
+        F.col("text").contains(F.col("probe"))
+    )
+    return hits.groupBy("probe_id", "source").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+@query(
     "near_dup_jaccard_capped_binding",
     oracle=f"""
     WITH sh AS (

@@ -237,7 +237,11 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 5)
+    # centroid training + final assignment scan the corpus once per
+    # action (seed sample, each Lloyd iteration, candidate join) — a
+    # lazy localCheckpoint materializes the filtered corpus on first
+    # use instead of re-reading the parquet per action
+    corpus = emb.filter(F.col("vec_id") >= 5).localCheckpoint(eager=False)
     out = SIM.ivf_topk(corpus, queries_df, k=5, n_centroids=8, nprobe=3)
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
