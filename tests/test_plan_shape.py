@@ -375,3 +375,34 @@ def test_analyze_table_populates_stats_for_cbo(spark, tmp_path):
         assert int(col_desc["distinct_count"]) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_orders")
+
+
+def test_contamination_screen_broadcasts_probes_never_shuffles_docs(spark):
+    """The decontamination screen must plan the probe side as a broadcast
+    nested-loop (substring theta join) with documents streaming through
+    in one pass — a shuffle of the corpus on any key would be the 100 TB
+    mistake; only the tiny (probe, source) hit aggregate may exchange."""
+    plan = plan_str(REGISTRY["contamination_screen"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    # exactly ONE shuffle: the final (probe, source) hit aggregate.
+    # ("+- Exchange" is the shuffle node; the probe side's broadcast
+    # prints as "BroadcastExchange" and doesn't match.)
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+
+
+def test_scd_upsert_read_prunes_to_touched_buckets(spark, tmp_path):
+    """The partition-scoped SCD read-back must prune at the partition
+    level: the touched-bucket isin filter has to land in PartitionFilters
+    of the parquet scan, not a post-scan Filter over all buckets."""
+    from webscrap_datapipeline_spark.operators.scd import scd_upsert_partitioned
+
+    target = str(tmp_path / "scd_prune")
+    initial = spark.createDataFrame(
+        [(k, 1, f"v1-{k}") for k in "ABCDEF"], ["k", "ts", "payload"]
+    )
+    scd_upsert_partitioned(spark, initial, target, key="k", ts="ts", n_buckets=8)
+    touched = [0, 3]
+    pruned = spark.read.parquet(target).filter(F.col("__bucket").isin(touched))
+    plan = plan_str(pruned)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "__bucket" in part_filters, plan[:2000]

@@ -136,8 +136,8 @@ def _plane_dot_sql(vec: str, plane: list[float]) -> str:
     )
 
 
-def _bucket_sql(vec: str) -> str:
-    planes = [SIM._hyperplane(_ND_SEED, p, _ND_DIM) for p in range(_ND_PLANES)]
+def _bucket_sql(vec: str, n_planes: int = _ND_PLANES, seed: int = _ND_SEED) -> str:
+    planes = [SIM._hyperplane(seed, p, _ND_DIM) for p in range(n_planes)]
     terms = [
         f"(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 THEN {1 << p} ELSE 0 END)"
         for p, plane in enumerate(planes)
@@ -198,9 +198,34 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_ann_lsh_topk",
-    oracle=None,  # ANN recall is probabilistic-by-design; the pytest suite
-    # asserts recall against brute_force_topk (the oracled exact baseline).
-    tags=("similarity", "knn", "lsh", "rows-only"),
+    # Recall is probabilistic-by-design (pytest pins it against
+    # brute_force_topk), but the COMPUTATION is fully deterministic —
+    # md5-derived hyperplanes, sequential-fold dot products, total-order
+    # rank tiebreak — so DuckDB can replay buckets, candidate join, and
+    # ranking exactly. Upgraded from rows-only in round 2.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_bucket_sql("embedding", n_planes=6)} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql("embedding", n_planes=6)} AS bucket
+      FROM embeddings WHERE vec_id >= 5
+    ), cand AS (
+      SELECT q.query_id, c.vec_id,
+             {_COS.format(a="c.embedding", b="q.qe")} AS score
+      FROM c JOIN q ON c.bucket = q.bucket
+    ), ranked AS (
+      SELECT query_id, vec_id, round(score, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS INT) AS rnk
+      FROM cand
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "knn", "lsh"),
 )
 def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 for 5 query vectors via hyperplane-LSH bucketing with
