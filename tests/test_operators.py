@@ -1315,3 +1315,61 @@ def test_quarantine_splits_with_all_violation_reasons(spark):
     }
     # the split is lossless
     assert valid.count() + bad.count() == df.count()
+
+
+def test_aho_corasick_overlapping_and_nested_probes():
+    """The automaton must report every probe occurring anywhere —
+    overlapping matches, probes nested inside other probes, matches at
+    string boundaries, self-overlapping patterns."""
+    from webscrap_datapipeline_spark.operators.decontaminate import AhoCorasick
+
+    ac = AhoCorasick([(1, "ab"), (2, "b"), (3, "abc"), (4, "cy"), (5, "zzz")])
+    assert ac.search("xabcy") == {1, 2, 3, 4}
+    assert ac.search("ab") == {1, 2}      # boundary: match ends at EOS
+    assert ac.search("babc") == {1, 2, 3}  # prefix + re-entry via fail links
+    assert ac.search("") == set()
+    ac2 = AhoCorasick([(7, "aa")])
+    assert ac2.search("aaaa") == {7}      # self-overlapping pattern
+
+
+def test_contamination_hits_agrees_with_bruteforce_contains(spark):
+    """The Aho-Corasick mapInPandas path must produce exactly the
+    (doc, probe) hit set of the brute-force contains cross join, on a
+    corpus slice with real text and adversarial synthetic probes."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.decontaminate import contamination_hits
+
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, "documents", SF_SMALL).select("doc_id", "text")
+    rows = docs.filter(F.col("doc_id") < 3).collect()
+    probes = [(int(r["doc_id"]), r["text"][5:45]) for r in rows]
+    probes += [(100, "the"), (101, "he"), (102, "qqqqnevermatches")]
+
+    ac_hits = {
+        (r["doc_id"], r["probe_id"]) for r in contamination_hits(docs, probes).collect()
+    }
+    probes_df = spark.createDataFrame(probes, ["probe_id", "probe"])
+    bf_hits = {
+        (r["doc_id"], r["probe_id"])
+        for r in docs.crossJoin(F.broadcast(probes_df))
+        .filter(F.col("text").contains(F.col("probe")))
+        .select("doc_id", "probe_id")
+        .collect()
+    }
+    assert ac_hits == bf_hits
+    assert any(p == 100 for _, p in ac_hits)  # common word really hits
+    assert not any(p == 102 for _, p in ac_hits)
+
+
+def test_contamination_hits_rejects_empty_probe(spark):
+    import pytest as _pytest
+
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.decontaminate import contamination_hits
+
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    with _pytest.raises(ValueError):
+        contamination_hits(docs, [(1, "")])

@@ -890,3 +890,244 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q11 shape: group-by HAVING against a global-scalar fraction —
+# "which nations hold a significant share of total customer balance".
+# (No partsupp table in this corpus; customer balance carries the shape.)
+
+
+@query(
+    "significant_nation_balance",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    HAVING SUM(CAST(c_acctbal AS DECIMAL(18,2))) >
+           (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 0.045
+            FROM customer WHERE c_acctbal > 0)
+    """,
+    tags=("agg", "having", "scalar-subquery", "tpch-q11"),
+)
+def significant_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's signature: an aggregate filtered by a fraction of a GLOBAL
+    aggregate. The threshold is a 1-row broadcast (never a shuffle);
+    the HAVING compares exact DECIMALs on both engines so the boundary
+    can't flip on float accumulation order."""
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_acctbal") > 0)
+    nation = load_table(spark, "nation", sf_dir)
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    per_nation = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec).alias("__bal"))
+    )
+    threshold = cust.agg((F.sum(dec) * F.lit(0.045)).alias("__thr"))
+    return (
+        per_nation.crossJoin(F.broadcast(threshold))
+        .filter(F.col("__bal") > F.col("__thr"))
+        .select("n_name", F.col("__bal").cast("double").alias("nation_balance"))
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q15 shape: the max-over-an-aggregated-view witness, ties kept.
+
+
+@query(
+    "top_revenue_supplier_window",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("agg", "scalar-subquery", "witness", "tpch-q15"),
+)
+def top_revenue_supplier_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: revenue view over a ship-date quarter, then the supplier(s)
+    achieving the view's max — ties INCLUDED (the witness must be an
+    equality against the max, never a LIMIT 1). The max is exact DECIMAL
+    so equality is well-defined on both engines; the view computes once
+    and is joined against its own max (1-row broadcast)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        supp.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts per part attribute bucket,
+# with a NOT-IN exclusion list. lineitem serves as the part↔supplier
+# bridge (this corpus ships no partsupp table).
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    WITH excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("agg", "distinct", "anti-join", "tpch-q16"),
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: how many distinct suppliers serve each (brand, size) bucket,
+    excluding a complainer list. The NOT IN compiles to a broadcast
+    left-anti join (the exclusion list is dimension-sized); the distinct
+    count shuffles (brand, size, suppkey) triples once — never raw
+    lineitems twice."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size").isin(5, 10, 15, 20))
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    excluded = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q17 shape: rows below a correlated per-group mean fraction
+# ("small-quantity" orders for a brand), revenue impact.
+
+
+@query(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * aq
+    """,
+    tags=("agg", "correlated", "join", "tpch-q17"),
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: lineitems whose quantity is below half their part's average —
+    the correlated scalar becomes a per-part aggregate joined back on
+    its own grouping key (one shuffle reused, no per-row subquery). The
+    average is exact-decimal-sum / count, one identical IEEE division on
+    both engines, and the 0.5× comparison is double×double both sides."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("aq")
+    )
+    small = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q20 shape: nested semi-join chain with a correlated aggregate
+# threshold — "suppliers who moved serious volume of a part family".
+
+
+@query(
+    "heavy_volume_part_suppliers",
+    oracle="""
+    WITH promo_parts AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ), volume AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM promo_parts)
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM volume)
+    """,
+    tags=("semi-join", "correlated", "having", "tpch-q20"),
+)
+def heavy_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: the two-level semi-join — suppliers qualify via an aggregate
+    threshold over their shipments of a part family (PROMO; threshold
+    120 is selective at sf0.01 and non-empty at sf0.001), then surface
+    with their nation. Both IN-subqueries compile to semi joins (the part
+    family broadcast, the qualifying-supplier set aggregated first);
+    the fact table is touched once."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    volume = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 120)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        supp.join(volume, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+    )

@@ -213,6 +213,50 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_screen_multi",
+    # Same semantics and SAME oracle shape as contamination_screen — but
+    # computed by the Aho-Corasick scale path (operators/decontaminate):
+    # all probes matched in ONE pass per document, O(corpus bytes), the
+    # way a 10⁵-probe decontamination sweep must run at 100 TB. The SQL
+    # oracle stays the brute-force containment join, so the driver
+    # value-checks the automaton against an independent formulation.
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS probe_id, substring(text, 10, 40) AS probe
+      FROM documents WHERE doc_id IN (0, 100, 200)
+    )
+    SELECT p.probe_id, d.source, COUNT(*) AS n_hits
+    FROM documents d JOIN probes p ON contains(d.text, p.probe)
+    GROUP BY p.probe_id, d.source
+    """,
+    tags=("text", "decontamination", "aho-corasick", "mapInPandas"),
+)
+def contamination_screen_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via one-pass multi-pattern matching: the probe
+    strings (three 40-char spans, as in contamination_screen) compile
+    into one Aho-Corasick automaton that every document streams through
+    once inside Arrow batches — per-doc cost independent of probe count.
+    Hits join back to doc sources for the per-(probe, source) report.
+    The 3-row probe collect is driver-sized by construction (probe sets
+    are eval-set sentences, never corpus-sized)."""
+    from ..operators.decontaminate import contamination_hits
+
+    docs = load_table(spark, "documents", sf_dir)
+    probe_rows = (
+        docs.filter(F.col("doc_id").isin(0, 100, 200))
+        .select(F.col("doc_id"), F.substring("text", 10, 40).alias("probe"))
+        .collect()
+    )
+    probes = [(int(r["doc_id"]), r["probe"]) for r in probe_rows]
+    hits = contamination_hits(docs, probes)
+    return (
+        hits.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("probe_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
     "near_dup_jaccard_capped_binding",
     oracle=f"""
     WITH sh AS (
