@@ -274,6 +274,58 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantization_error",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id,
+             list_min(list_transform(embedding, x -> x::DOUBLE)) AS mn,
+             list_max(list_transform(embedding, x -> x::DOUBLE)) AS mx,
+             embedding
+      FROM embeddings WHERE vec_id < 100
+    ), scaled AS (
+      SELECT vec_id, mn,
+             CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS scale,
+             embedding
+      FROM prep
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_max(list_transform(
+             range(1, len(embedding) + 1),
+             i -> abs(embedding[i]::DOUBLE -
+                      (mn + scale * round((embedding[i]::DOUBLE - mn)
+                                          / (CASE WHEN scale > 0 THEN scale ELSE 1 END))))
+           )), 6) AS max_abs_err
+    FROM scaled
+    """,
+    tags=("vector", "quantization", "compression"),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization round trip (functions/vectors.quantize_
+    int8 → dequantize_int8) for the first 100 vectors: per-vector scale
+    and max reconstruction error — the 4× compression / accuracy audit a
+    vector pipeline runs before switching storage to int8. The oracle
+    replays the affine arithmetic (min/max, /255 scale, round-half-up
+    codes — identical tie behavior for non-negative codes on both
+    engines, reconstruction) in SQL, so codes AND dequantization are
+    value-checked, not just bounded. All column algebra inside codegen —
+    the quantization pass streams at scan speed."""
+    from ..functions.vectors import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 100)
+    q = quantize_int8(F.col("embedding"))
+    dq = dequantize_int8(q)
+    err = F.array_max(
+        F.zip_with(F.col("embedding"), dq, lambda a, b: F.abs(a.cast("double") - b))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(q["scale"], 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+@query(
     "kmeans_embedding_clusters",
     oracle=None,  # iterative algorithm — not SQL-expressible; pytest pins
     # determinism, monotone objective decrease, and exact recovery of
