@@ -1373,3 +1373,80 @@ def test_contamination_hits_rejects_empty_probe(spark):
     docs = load_table(spark, "documents", SF_SMALL)
     with _pytest.raises(ValueError):
         contamination_hits(docs, [(1, "")])
+
+
+def test_cross_modal_channels_are_individually_load_bearing(spark):
+    """The cross-modal curation corpus plants two dup families that each
+    REQUIRE a different evidence channel (+1M: same text / negated
+    embedding; +2M: same embedding / rewritten text). With both channels
+    every planted copy must be eliminated; with one channel disabled,
+    exactly the family needing the disabled channel survives — proving
+    the union of channels is doing real work, not redundancy."""
+    from webscrap_datapipeline_spark.catalog import ensure_min_parallelism, load_table
+    from webscrap_datapipeline_spark.functions.vectors import cosine
+    from webscrap_datapipeline_spark.operators import dedup as DD
+    from webscrap_datapipeline_spark.operators import similarity as SIM
+    from webscrap_datapipeline_spark.operators.components import dedup_survivors
+
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, "documents", SF_SMALL).select("doc_id", "lang", "text")
+    emb = load_table(spark, "embeddings", SF_SMALL).select("vec_id", "embedding")
+    base = ensure_min_parallelism(
+        docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+            "doc_id", "lang", "text", "embedding"
+        ),
+        spark,
+    )
+    text_copies = base.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "text",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    vec_copies = base.filter(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "lang",
+        F.concat(F.lit("rewrite "), F.col("doc_id").cast("string")).alias("text"),
+        "embedding",
+    )
+    corpus = (
+        base.unionByName(text_copies).unionByName(vec_copies).localCheckpoint(eager=False)
+    )
+    n_text_copies = text_copies.count()
+    n_vec_copies = vec_copies.count()
+    assert n_text_copies > 0 and n_vec_copies > 0
+
+    tedges = (
+        DD.jaccard_pairs(corpus, "text", "doc_id", n=3, max_shingle_freq=1000)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    b = SIM.lsh_bucket(
+        corpus.select("doc_id", "embedding"), "embedding", dim=64, n_planes=12, seed=7
+    )
+    left = b.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"), "bucket")
+    right = b.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"), "bucket")
+    vedges = (
+        left.join(right, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+
+    def surviving_planted(edges):
+        surv = dedup_survivors(corpus, edges, "doc_id", "doc_a", "doc_b")
+        rows = surv.filter(F.col("doc_id") >= 1_000_000).collect()
+        return (
+            sum(1 for r in rows if r["doc_id"] < 2_000_000),  # text-evidence family
+            sum(1 for r in rows if r["doc_id"] >= 2_000_000),  # embedding-evidence family
+        )
+
+    both = surviving_planted(tedges.unionByName(vedges))
+    assert both == (0, 0), f"full union left planted copies alive: {both}"
+    text_only = surviving_planted(tedges)
+    assert text_only[0] == 0  # text channel still kills its family
+    assert text_only[1] == n_vec_copies  # embedding-only family needs vedges
+    vec_only = surviving_planted(vedges)
+    assert vec_only[1] == 0
+    assert vec_only[0] == n_text_copies
