@@ -251,6 +251,37 @@ def minhash_signatures(
     return hashed.select("doc", sig.alias("signature"))
 
 
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Engine-portable MinHash: base hash = first 8 md5 hex chars of the
+    shingle STRING (32 bits, reproducible in any SQL dialect — the same
+    trick simhash uses), then the same affine permutations as
+    :func:`minhash_signatures`. Use when signatures must be verified or
+    joined across engines (the driver-oracled query); the xxhash64
+    variant stays the fast path when signatures never leave Spark.
+    Identical shape: per-row, zero shuffle."""
+    base = shingled(df, text_col, id_col, n)
+    hashed = base.select(
+        "doc",
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("__hs"),
+    )
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_PRIME)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
+            for (a, b) in _perm_consts(num_hashes)
+        ]
+    )
+    return hashed.select("doc", sig.alias("signature"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
