@@ -1131,3 +1131,172 @@ def heavy_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q6 shape: single-scan filtered aggregate — the pushdown benchmark.
+
+
+@query(
+    "discount_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE)
+             AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "scan", "pushdown", "tpch-q6"),
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: revenue impact of dropping a discount band — one scan, every
+    predicate pushed to parquet (range on shipdate, band on discount,
+    bound on quantity), one exact-decimal sum. The canonical
+    filter-pushdown benchmark: no join, no shuffle beyond the 1-row
+    final aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,6)"))
+            .cast("double")
+            .alias("potential_revenue")
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q8 shape: market-share ratio (conditional sum / total sum) over a
+# six-table join — supplier-nation share of a region's order revenue.
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    WITH region_orders AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = (SELECT MIN(r_name) FROM region)
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM region_orders
+    GROUP BY o_year
+    """,
+    tags=("join", "conditional-agg", "ratio", "multi-join", "tpch-q8"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of a region's order revenue per year — the
+    conditional-sum / total-sum ratio over a six-table join (lineitem ⋈
+    orders shuffles once; customer/supplier/nation×2/region all
+    broadcast). Numerator and denominator accumulate as exact DECIMAL
+    and divide once as doubles, so the ratio is order-independent. The
+    probe region is picked deterministically (MIN(r_name)) rather than
+    hard-coding fixture data."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    probe_region = region.agg(F.min("r_name").alias("r_probe"))
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .crossJoin(F.broadcast(probe_region))
+        .filter(F.col("r_name") == F.col("r_probe"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(24,6)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    ).select(F.col("o_year").cast("bigint").alias("o_year"), "mkt_share")
+
+
+# ----------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation × order year. No partsupp
+# table in this corpus, so unit cost proxies as 80% of p_retailprice —
+# the join/aggregation SHAPE (part-family filter, five-table join,
+# two-key rollup) is what the query pins.
+
+
+@query(
+    "nation_year_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.8 * p_retailprice * l_quantity
+                         AS DECIMAL(24,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE contains(p_name, 'a')
+    GROUP BY n_name, o_year
+    """,
+    tags=("join", "agg", "multi-join", "tpch-q9"),
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: per-(supplier-nation, order-year) profit over a part-name
+    filter — lineitem ⋈ orders shuffles once; part, supplier, nation
+    broadcast. Per-row profit arithmetic is IEEE (deterministic);
+    accumulation goes through exact DECIMAL."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").contains("a"))
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
