@@ -1,10 +1,24 @@
 """Local replica of the driver's DuckDB-oracle comparison.
 
-Row count + column names + order-insensitive value comparison, with
-columns sorted by name (mirroring the driver contract in
-``__spark_entry__.py``'s module docstring). Exact equality on every cell
-— the determinism rules in plans/registry.py exist so this is achievable
-even for float aggregates.
+Faithful to the driver's *pandas* canonicalization path — not an
+idealized comparator. Round 2's postmortem (VERDICT.md "What's wrong"
+#3): the old ``fetchall()``-based compare converted DuckDB HUGEINT to
+Python int and tuple-sorted rows, so two whole classes of driver
+failures never reproduced locally:
+
+  * DuckDB ``SUM(int)`` → HUGEINT → pandas **float64** (``3882.0``)
+    while Spark emits int64 (``3882``) — identical values, different
+    dtypes, different hashes (``late_lines_by_returnflag``, red in
+    r1 AND r2);
+  * list-valued cells crash pandas ``sort_values``
+    (``unhashable type: 'list'`` — ``label_centroids``, r2).
+
+This version goes Spark→``toPandas()`` and DuckDB→``.df()`` (pandas),
+sorts columns by name, canonicalizes rows via ``sort_values`` over all
+columns (raising exactly where the driver raises), and compares cells
+**dtype-sensitively**: an int64 cell never equals a float64 cell even
+when the values coincide. If a query passes here, the driver's pandas
+path has no type/shape artifact left to trip on.
 """
 
 from __future__ import annotations
@@ -15,6 +29,8 @@ import os
 from typing import Any
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = (
     "region",
@@ -38,52 +54,96 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v: Any) -> Any:
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # normalize -0.0 and represent exactly
-        return repr(v + 0.0)
+def _canon_cell(v: Any) -> Any:
+    """Dtype-sensitive canonical form of one pandas cell.
+
+    Integers and floats deliberately canonicalize DIFFERENTLY
+    (``'i:3882'`` vs ``'f:3882.0'``): the driver hashes pandas values,
+    where dtype is part of identity. Collapsing them here is exactly
+    the bug that made round 2's red rows invisible locally.
+    """
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        # pandas can hold these, but the driver's sort_values raises on
+        # them before any hashing happens; _sorted_rows reproduces that.
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"  # pandas maps SQL NULL in numeric cols to NaN
+        return f"f:{f + 0.0!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None).isoformat(sep=" ") if v.tz is None else v.tz_convert("UTC").tz_localize(None).isoformat(sep=" ")
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if v is pd.NaT:
+        return "NULL"
     return v
 
 
-def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
+def _sorted_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Column-name sort + pandas sort_values — the driver's canonical
+    order. sort_values raises TypeError on unhashable cells (lists);
+    we let that propagate so list-shaped outputs fail HERE, not in the
+    driver."""
+    pdf = pdf.reindex(sorted(pdf.columns, key=lambda c: c.lower()), axis=1)
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    # Canonical-form sort as a final tiebreak: sort_values on mixed
+    # dtypes can order NaN/None differently across engines.
+    rows.sort(key=repr)
+    return rows
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    """Returns dict with 'ok' plus diagnostics."""
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
-    rel = con.sql(sql)
-    d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
+    """Returns dict with 'ok' plus diagnostics. Mirrors the driver:
+    row count, column-name set, then dtype-sensitive value equality
+    over pandas-canonicalized rows."""
+    res: dict[str, Any] = {}
+    try:
+        s_pdf = spark_df.toPandas()
+        d_pdf = con.sql(sql).df()
+    except Exception as exc:  # mirror the driver's err column
+        return {"ok": False, "err": f"fetch: {type(exc).__name__}: {exc}"}
 
-    res: dict[str, Any] = {
-        "spark_rows": len(s_rows),
-        "duck_rows": len(d_rows),
-        "spark_cols": sorted(s_cols),
-        "duck_cols": sorted(d_cols),
-    }
+    s_cols = list(s_pdf.columns)
+    d_cols = list(d_pdf.columns)
+    res.update(
+        spark_rows=len(s_pdf),
+        duck_rows=len(d_pdf),
+        spark_cols=sorted(s_cols),
+        duck_cols=sorted(d_cols),
+    )
     res["cols_ok"] = sorted(c.lower() for c in s_cols) == sorted(c.lower() for c in d_cols)
-    res["count_ok"] = len(s_rows) == len(d_rows)
+    res["count_ok"] = len(s_pdf) == len(d_pdf)
     if not (res["cols_ok"] and res["count_ok"]):
         res["ok"] = False
         return res
 
-    sn = _normalize(s_rows, s_cols)
-    dn = _normalize(d_rows, d_cols)
+    try:
+        sn = _sorted_rows(s_pdf)
+        dn = _sorted_rows(d_pdf)
+    except TypeError as exc:
+        # the driver's `unhashable type: 'list'` class of failure
+        res["ok"] = False
+        res["err"] = f"canonicalize: {exc}"
+        return res
+
     res["values_ok"] = sn == dn
     if not res["values_ok"]:
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:5]

@@ -516,10 +516,10 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_lines_by_returnflag",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate) > 5184000000000
     GROUP BY l_returnflag
@@ -538,7 +538,12 @@ def late_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval addition on timestamps is calendar/DST-sensitive in a
     non-UTC session — int64 subtraction compares the same bits in both
     dialects no matter what the session timezone is (round-1 driver
-    hash-mismatch, CORRECTNESS_r01.json)."""
+    hash-mismatch, CORRECTNESS_r01.json).
+
+    The oracle SUMs are CAST(... AS BIGINT): DuckDB's SUM over integers
+    yields HUGEINT, which a pandas fetch converts to float64 — `3882.0`
+    vs Spark's bigint `3882` hash-mismatches even though the values are
+    identical (round-2 driver hash-mismatch, CORRECTNESS_r02.json)."""
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

@@ -53,10 +53,9 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 
 
 # Driver-facing ordering. The driver's correctness gate verifies a prefix
-# of the registry (round 1 covered exactly the first 50 entries), so the
-# export order is an evidence-allocation decision: the LLM-pipeline
-# north-star surface (text dedup/quality, vectors, temporal) goes first,
-# the TPC-H-shaped redundancy — fully driver-verified in round 1 — last.
+# of the registry (50 entries per round), so the export order is an
+# evidence-allocation decision: queries without a green driver row yet go
+# first; hash-verified queries (they keep local pytest parity) go last.
 _MODULE_RANK = {
     "text_queries": 0,
     "crossmodal_queries": 0,  # cross-channel curation flagship
@@ -69,43 +68,59 @@ _MODULE_RANK = {
 }
 
 
-# Queries that already have a green row in CORRECTNESS_r01.json — they keep
-# local pytest parity, so within a module they yield their driver slot to
-# queries that have never been driver-checked.
-_R01_VERIFIED = frozenset(
-    {
-        "change_detection", "pricing_summary", "top_revenue_orders", "local_supplier_volume",
-        "customers_without_pending_orders", "customers_with_open_orders", "union_dedup_keys",
-        "union_missing_columns", "filter_in_conjunctive", "keyword_containment_join",
-        "latest_event_per_user", "state_update_merge", "rollup_order_stats", "distinct_counts",
-        "json_props_extract", "orders_by_month", "ship_months_without_orders",
-        "nations_with_customers_and_suppliers", "cube_order_stats", "pivot_status_by_priority",
-        "returned_items_by_customer", "orders_above_customer_avg", "orders_snapshot_diff",
-        "profile_orders", "incremental_agg_maintenance", "sql_top3_orders_per_customer",
-        "null_safe_arithmetic", "large_volume_orders", "poorest_supplier_per_nation",
-        "priority_order_counts", "promo_revenue_share", "bracketed_part_revenue",
-        "idle_rich_customers", "customer_order_distribution", "nation_pair_trade_volume",
-        "sole_late_suppliers", "multimodal_payload_stats", "multimodal_frame_sample",
-        "full_outer_customer_activity", "grouping_sets_order_stats", "parts_above_avg_price",
-        "word_explode_topk", "embedding_array_probe", "string_functions_probe",
-        "math_functions_probe", "ntile_value_quartiles", "customer_balance_distribution",
-        "user_value_bookends",
-    }
-)
+def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
+    """(hash-verified names, driver-seen names), derived from the
+    committed CORRECTNESS_r*.json files rather than a hand-maintained
+    list (round-2 ADVICE: a hard-coded frozenset silently drifts from
+    the actual driver record). Missing/corrupt files degrade to empty
+    sets — every query then competes for a window slot, which is the
+    safe direction."""
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    verified: set[str] = set()
+    seen: set[str] = set()
+    for fname in sorted(os.listdir(repo_root)):
+        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(repo_root, fname)) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            seen.add(name)
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                verified.add(name)
+    return frozenset(verified), frozenset(seen)
 
 
-# The one red row from round 1 — re-verify it first.
-_PINNED_FIRST = ("late_lines_by_returnflag",)
+# Queries re-shaped THIS round to clear a driver-comparator artifact
+# (r2 red rows + the array-output query the faithful local comparator
+# flagged) — their fresh driver row is the round's first deliverable.
+_PINNED_FIRST = ("late_lines_by_returnflag", "label_centroids", "user_event_type_sets")
 
 
 def _ordered_names() -> list[str]:
+    verified, seen = _driver_history()
+
     def rank(name: str) -> tuple[int, int, int]:
-        mod = REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
-        return (
-            0 if name in _PINNED_FIRST else 1,
-            1 if name in _R01_VERIFIED else 0,
-            _MODULE_RANK.get(mod, 99),
-        )
+        q = REGISTRY[name]
+        mod = q.fn.__module__.rsplit(".", 1)[-1]
+        if name in _PINNED_FIRST:
+            bucket = 0
+        elif q.oracle is not None and name not in verified:
+            bucket = 1  # exact check available but no green driver row yet
+        elif q.oracle is None and name not in seen:
+            bucket = 2  # rows-only, never even driver-seen
+        elif q.oracle is None:
+            bucket = 3  # rows-only, already driver-seen; re-check adds nothing
+        else:
+            bucket = 4  # hash-verified; local parity keeps watching it
+        return (bucket, _MODULE_RANK.get(mod, 99), 0)
 
     return sorted(REGISTRY, key=rank)  # stable: insertion order within a bucket
 

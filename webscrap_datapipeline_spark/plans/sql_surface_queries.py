@@ -701,7 +701,8 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS event_types,
+           array_to_string(list_sort(list_distinct(list(event_type))), '|')
+             AS event_types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     WHERE user_id < 50
@@ -710,16 +711,24 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "array"),
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → array_sort per user: array-typed aggregate output
-    (sorted, so both engines produce identical arrays — a raw
-    collect_list would be partition-order-dependent and can never be
-    oracle-checked)."""
+    """collect_set → array_sort per user: array-typed aggregate (sorted,
+    so both engines produce identical arrays — a raw collect_list would
+    be partition-order-dependent and can never be oracle-checked).
+
+    The array is emitted '|'-joined as a string: list-valued cells crash
+    the driver's pandas ``sort_values`` canonicalization (the
+    ``label_centroids`` round-2 comparator error), so array outputs must
+    cross the driver boundary in a hashable form. The array-typed
+    aggregation itself is still what's exercised — the join is the last
+    projection on both engines."""
     events = load_table(spark, "events", sf_dir)
     return (
         events.filter(F.col("user_id") < 50)
         .groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), "|"
+            ).alias("event_types"),
             F.countDistinct("event_type").alias("n_types"),
         )
     )
