@@ -114,6 +114,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     parquet scan because this stays a plain declarative read."""
     if name not in EXPECTED_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(EXPECTED_SCHEMAS)}")
+    # Loud guard, not a silent dependency: the NTZ rewrite below builds
+    # UTC instants session-independently, but everything DOWNSTREAM of a
+    # TimestampType column (collect()/toPandas() rendering, date_trunc,
+    # window bucketing) interprets instants in the session timezone. A
+    # caller-supplied non-UTC session would silently shift results
+    # relative to the DuckDB oracle; failing here names the fix.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"load_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+            "timestamp semantics and oracle parity are defined in UTC — set "
+            "spark.conf.set('spark.sql.session.timeZone', 'UTC') on the session"
+        )
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Timestamp columns may ship as parquet TIMESTAMP(NANOS) (arrives as
     # long ns-since-epoch under spark.sql.legacy.parquet.nanosAsLong) or as

@@ -12,8 +12,6 @@ src/process_files.py:50) re-expressed two ways per SURVEY.md §2.6:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -65,6 +63,19 @@ def apply_current_flag(
     )
 
 
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """Existence through the Hadoop FileSystem API, not ``os.path`` —
+    the target of an upsert is an s3a://, hdfs://, or executor-only URI
+    in any real deployment, where a driver-local ``os.path.exists``
+    reports an EXISTING table as absent and the init branch's plain
+    ``mode('overwrite')`` would then clobber it (round-2 ADVICE). The
+    scheme's own FileSystem answers for every URI Spark can write."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def scd_upsert_partitioned(
     spark: SparkSession,
     incoming: DataFrame,
@@ -101,7 +112,7 @@ def scd_upsert_partitioned(
     """
     bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
     inc = incoming.withColumn(bucket_col, bucket)
-    if not os.path.exists(target_path):
+    if not _target_exists(spark, target_path):
         merged = apply_current_flag(
             inc.limit(0), inc, key, ts, flag_col, tiebreak, dedupe_exact
         )

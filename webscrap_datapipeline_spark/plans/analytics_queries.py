@@ -930,7 +930,14 @@ def significant_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(dec).alias("__bal"))
     )
-    threshold = cust.agg((F.sum(dec) * F.lit(0.045)).alias("__thr"))
+    # 0.045 as a DECIMAL literal, not a Python float: F.lit(0.045) is
+    # DoubleType, which would coerce the comparison to double while the
+    # oracle's DuckDB literal stays DECIMAL(4,3) — a balance within
+    # double-rounding of the threshold could then flip the HAVING
+    # boundary across engines (round-2 ADVICE).
+    threshold = cust.agg(
+        (F.sum(dec) * F.lit("0.045").cast("decimal(4,3)")).alias("__thr")
+    )
     return (
         per_nation.crossJoin(F.broadcast(threshold))
         .filter(F.col("__bal") > F.col("__thr"))
