@@ -175,6 +175,33 @@ def ivf_topk(
             init_centroids=vecs,
         )
     centroids = [(cid, c) for cid, c in enumerate(vecs)]
+    return ivf_search(
+        corpus, queries, centroids, k, nprobe,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF search against a FIXED centroid codebook (the serving half of
+    ``ivf_topk``, split out so a pre-trained / externally chosen codebook
+    can be reused — the production IVF shape, where training and serving
+    are separate jobs). Assignment and probing are argmin-L2 over plan
+    literals (codegen, no shuffle); the candidate join is equi on the int
+    cell id; rescoring is exact cosine with a total-order rank tiebreak.
+    Because every stage is deterministic arithmetic + an equi-join, a
+    fixed-codebook invocation is fully SQL-replayable (see
+    plans/curation_queries.embedding_ivf_seeded_topk's DuckDB oracle)."""
     assigned = ivf_assign(corpus, corpus_vec, centroids)
     probes = queries.withColumn("__probe", _probe_cids(query_vec, centroids, nprobe)).select(
         query_id, query_vec, F.explode("__probe").alias("cid")

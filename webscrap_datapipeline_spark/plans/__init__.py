@@ -6,6 +6,7 @@ from __future__ import annotations
 from . import analytics_queries  # noqa: F401
 from . import core_queries  # noqa: F401
 from . import crossmodal_queries  # noqa: F401
+from . import curation_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
 from . import sql_surface_queries  # noqa: F401
 from . import temporal_queries  # noqa: F401

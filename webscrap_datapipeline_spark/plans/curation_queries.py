@@ -1,0 +1,531 @@
+"""Training-data curation queries — round-3 widening of the LLM-data-
+pipeline surface (BASELINE.json north star): repetition filtering
+(Gopher-style top-n-gram fraction), prefix dedup, character-n-gram
+language profiles, document rarity scoring, product-analytics funnels /
+retention / transition matrices over the event stream, per-dimension
+embedding statistics, and the fixed-codebook IVF search path with a full
+SQL value check (upgrading IVF from rows-only evidence — VERDICT.md r2
+task 6).
+
+Reference lineage: the reference pipeline has no analytics surface at
+all (741-LoC incremental ETL, main.py:30-112); everything here is the
+mandated extension surface. Determinism follows plans/registry.py rules:
+integer-exact flags via cross-multiplication (never float thresholds),
+decimal-accumulated float sums, total-order tiebreaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import text as TX
+from .registry import query
+
+_TOKENS = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), w -> w <> '')"
+
+
+# --- text curation ----------------------------------------------------------
+
+
+@query(
+    "repetition_top_bigram_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKENS.format(c="text")} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, u.b AS bigram
+      FROM toks,
+           LATERAL (SELECT unnest(list_transform(range(1, len(t)),
+                                                 i -> t[i] || ' ' || t[i+1])) AS b) u
+      WHERE len(t) >= 2
+    ), per_doc AS (
+      SELECT doc_id, lang, MAX(c) AS max_c, SUM(c) AS n_bigrams
+      FROM (SELECT doc_id, lang, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(max_c) AS BIGINT) AS total_top_bigram,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(COUNT(*) FILTER (WHERE max_c * 20 >= n_bigrams) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def repetition_top_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per-document fraction of bigram
+    mass captured by the single most frequent word bigram, aggregated per
+    language with a flagged-document count (top-bigram fraction ≥ 1/20 —
+    the threshold test is the integer cross-product ``max_c*20 >=
+    n_bigrams``, so no float boundary exists to disagree on).
+
+    Shape at scale: bigrams explode to (doc, bigram) rows that partially
+    aggregate map-side before the (doc_id, bigram) shuffle — the same
+    posting-list discipline as the Jaccard dedup path; nothing is ever
+    quadratic in document length."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    toks = TX.tokens("text")
+    with_t = docs.select("doc_id", "lang", toks.alias("t")).filter(F.size("t") >= 2)
+    bigrams = with_t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("max_c").cast("bigint").alias("total_top_bigram"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        F.sum((F.col("max_c") * 20 >= F.col("n_bigrams")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+@query(
+    "prefix_dup_groups",
+    oracle="""
+    SELECT md5(substr(text, 1, 120)) AS prefix_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "text"),
+)
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing the same first-120-character
+    fingerprint (boilerplate headers, template reuse, truncated
+    re-crawls — near-dup families exact matching misses; the corpus has
+    ~20 natural groups). One groupBy on a 16-byte hash — the shuffle
+    never carries document bodies, identical to the exact-dedup shape."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.substring("text", 1, 120)).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@query(
+    "char_trigram_profile",
+    oracle="""
+    WITH tg AS (
+      SELECT lang, u.g AS trigram
+      FROM documents,
+           LATERAL (SELECT unnest(list_transform(range(1, length(text) - 1),
+                                                 i -> substr(text, i, 3))) AS g) u
+      WHERE length(text) >= 3
+    ), cnt AS (
+      SELECT lang, trigram, COUNT(*) AS n FROM tg GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, trigram, n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, trigram ASC
+             ) AS INT) AS rnk
+      FROM cnt
+    )
+    SELECT lang, trigram, n, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("text", "lang-id", "ngram"),
+)
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language profile: top-5 trigrams per language by
+    corpus frequency — the feature table an n-gram language-ID model is
+    trained from (functions/text.lang_id consumes profiles of exactly
+    this shape). The explode fans each doc into length-2 trigram rows
+    that partially aggregate map-side, so the shuffle carries (lang,
+    trigram) partial counts — vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 3)
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("trigram"),
+    )
+    cnt = grams.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("trigram").asc())
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "trigram", "n", "rnk")
+    )
+
+
+@query(
+    "doc_rarity_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct({_TOKENS.format(c="text")}) AS dt
+      FROM documents
+    ), words AS (
+      SELECT doc_id, u.w AS word FROM toks, LATERAL (SELECT unnest(dt) AS w) u
+    ), dft AS (
+      SELECT word, COUNT(*) AS df FROM words GROUP BY 1
+    ), total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id,
+           CAST(SUM(n - df) AS BIGINT) AS rarity,
+           COUNT(*) AS n_distinct_terms
+    FROM words JOIN dft USING (word), total
+    GROUP BY doc_id
+    ORDER BY rarity DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("text", "quality", "topk"),
+)
+def doc_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rarity scoring: each document scores the sum over its
+    distinct terms of (corpus size − term document-frequency) — an
+    integer-exact IDF surrogate (log-free, so no libm portability hazard)
+    that ranks documents carrying unusual vocabulary; top-20. The
+    document-frequency table is vocabulary-sized → broadcast back to the
+    posting rows, so the only large shuffles are on ``word`` and
+    ``doc_id`` — never doc × doc."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("word")
+    )
+    dft = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        words.join(F.broadcast(dft), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") - F.col("df")).cast("bigint").alias("rarity"),
+            F.count(F.lit(1)).alias("n_distinct_terms"),
+        )
+        .orderBy(F.col("rarity").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --- event-stream product analytics ----------------------------------------
+
+
+@query(
+    "funnel_stage_counts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+        AND epoch(e.ts) - epoch(s1.t1) <= 14400
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND epoch(e.ts) - epoch(s2.t2) <= 14400
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST(1 AS INT) AS stage_ord,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 'view_within_4h', CAST(2 AS INT), (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 'purchase_within_4h', CAST(3 AS INT), (SELECT COUNT(*) FROM s3)
+    """,
+    tags=("events", "funnel"),
+)
+def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase, each
+    subsequent stage within 4 h of the previous stage's event (strictly
+    later; epoch-seconds arithmetic both engines derive from the same µs
+    values). Classic sequential-pattern shape a plain join tree
+    expresses: each stage is one groupBy(user) over an equi-join with the
+    previous stage — all shuffles are on user_id and reuse the same
+    partitioning."""
+    events = load_table(spark, "events", sf_dir)
+
+    def within(later: Column, earlier: Column) -> Column:
+        return (later > earlier) & (
+            later.cast("double") - earlier.cast("double") <= 14400
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(within(F.col("ts"), F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(within(F.col("ts"), F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            "n_users",
+        )
+
+    return (
+        stage(s1, "signup", 1)
+        .unionByName(stage(s2, "view_within_4h", 2))
+        .unionByName(stage(s3, "purchase_within_4h", 3))
+    )
+
+
+@query(
+    "retention_cohort_matrix",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cd FROM events GROUP BY 1
+    )
+    SELECT strftime(f.cd, '%Y-%m-%d') AS cohort_date,
+           CAST(date_diff('day', f.cd, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention"),
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity date,
+    counted distinct on each day-offset they return — the (cohort ×
+    offset) table every retention curve is drawn from. Both the
+    first-seen aggregation and the join shuffle on user_id (one exchange,
+    reused); the final aggregate is cohort×offset-sized. The cohort date
+    goes out as a 'yyyy-MM-dd' string: DATE columns canonicalize
+    asymmetrically in the driver's pandas path (DuckDB DATE →
+    datetime64 midnight, Spark DATE → datetime.date) — same comparator
+    hazard class as round 2's HUGEINT red row."""
+    events = load_table(spark, "events", sf_dir)
+    first_seen = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cd"))
+    return (
+        events.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cd", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff(F.to_date("ts"), F.col("cd")).cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM nxt WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (total order ts, event_id — deterministic under
+    timestamp ties). One shuffle on user_id for the window, then a
+    5×5-sized aggregate with map-side partials."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+# --- embedding statistics & fixed-codebook IVF ------------------------------
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH comps AS (
+      SELECT d.i AS dim, d.x AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                           unnest(embedding) AS x) d
+    ), stats AS (
+      SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(12,8)) * CAST(x AS DECIMAL(12,8))) AS DOUBLE) AS sxx
+      FROM comps GROUP BY 1
+    )
+    SELECT dim,
+           round(sxx / n - (sx / n) * (sx / n), 6) AS variance,
+           round(sx / n, 6) AS mean
+    FROM stats
+    ORDER BY variance DESC, dim ASC
+    LIMIT 10
+    """,
+    tags=("vector", "agg", "profile"),
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics — top-10 highest-variance
+    embedding dimensions (the profile pass behind feature selection /
+    whitening / dead-dimension detection). Components accumulate exactly:
+    x as DECIMAL(20,8) (the proven label_centroids path) and x² as the
+    exact product of two DECIMAL(12,8) casts — both engines then perform
+    the same two IEEE divisions and one subtraction, so the 6-dp round
+    lands identically. posexplode rows partially aggregate map-side: the
+    shuffle carries 64 dims × partitions, not vectors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x8 = F.col("x").cast("decimal(20,8)")
+    x12 = F.col("x").cast("decimal(12,8)")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy((F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x8).cast("double").alias("sx"),
+            F.sum(x12 * x12).cast("double").alias("sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return (
+        stats.select(
+            "dim",
+            F.round(sxx / n - (sx / n) * (sx / n), 6).alias("variance"),
+            F.round(sx / n, 6).alias("mean"),
+        )
+        .orderBy(F.col("variance").desc(), F.col("dim").asc())
+        .limit(10)
+    )
+
+
+_COS = """
+  list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+_L2 = """
+  list_sum(list_transform(range(1, len({a}) + 1),
+                          i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)
+                               * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))
+"""
+
+
+@query(
+    "embedding_ivf_seeded_topk",
+    # Every stage of the fixed-codebook IVF path is deterministic
+    # arithmetic (sequential-fold L2/cosine, argmin with an integer
+    # tiebreak, equi-join on the cell id), so — unlike the trained
+    # variant, whose Lloyd iterations aren't SQL-expressible — the
+    # oracle replays assignment, probing, candidate generation, and
+    # ranking exactly. This upgrades IVF from rows-only evidence
+    # (VERDICT.md round-2 task 6).
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+    ), cent AS (
+      SELECT cid, ce FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS INT) AS cid,
+               embedding AS ce
+        FROM corpus WHERE vec_id % 61 = 8
+      ) WHERE cid <= 8
+    ), assign0 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_L2.format(a="embedding", b="ce")} ASC, cid ASC
+             ) AS r
+      FROM corpus CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM assign0 WHERE r = 1
+    ), probe0 AS (
+      SELECT query_id, qe, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_L2.format(a="qe", b="ce")} ASC, cid ASC
+             ) AS r
+      FROM q CROSS JOIN cent
+    ), probes AS (
+      SELECT query_id, qe, cid FROM probe0 WHERE r <= 3
+    ), cand AS (
+      SELECT p.query_id, a.vec_id,
+             {_COS.format(a="a.embedding", b="p.qe")} AS score
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+    ), ranked AS (
+      SELECT query_id, vec_id, round(score, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS INT) AS rnk
+      FROM cand
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "knn", "ivf"),
+)
+def embedding_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for 5 queries against a FIXED centroid codebook
+    (corpus rows vec_id % 61 = 8, first 8 by vec_id — a deterministic,
+    storage-order-decorrelated pick), nprobe=3 —
+    operators/similarity.ivf_search, the serving half of the IVF path
+    where the codebook is trained offline and reused across jobs.
+    Assignment/probing are argmin-L2 over the 8 plan-literal centroids
+    (codegen, no shuffle; the collect is 8 driver-sized rows); the
+    candidate join is equi on the int cell id; exact-cosine rescore with
+    a total-order rank. The trained variant (embedding_ivf_topk) keeps
+    its pytest recall pins; this one is value-checked end-to-end in SQL."""
+    from ..operators.similarity import ivf_search
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    seed_rows = (
+        corpus.filter(F.col("vec_id") % 61 == 8)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()  # 8 rows — driver-sized by construction (the codebook)
+    )
+    centroids = [
+        (cid + 1, [float(x) for x in row["embedding"]])
+        for cid, row in enumerate(seed_rows)
+    ]
+    out = ivf_search(corpus, queries_df, centroids, k=5, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
+    ).orderBy("query_id", "rnk")

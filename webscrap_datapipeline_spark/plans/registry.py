@@ -59,6 +59,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 _MODULE_RANK = {
     "text_queries": 0,
     "crossmodal_queries": 0,  # cross-channel curation flagship
+    "curation_queries": 1,  # round-3 curation surface — all driver-unseen
     "vector_queries": 1,
     "temporal_queries": 2,
     "multimodal_queries": 3,
