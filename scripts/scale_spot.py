@@ -1,0 +1,129 @@
+"""Scale spot-run: do the dedup/ANN pipelines grow sub-quadratically?
+
+Builds synthetic ×1 / ×4 / ×16 up-scales of the sf0.1 corpus and times
+the three pipelines VERDICT.md (round 2, task 7) asked to see an order
+of magnitude up: ``near_dup_jaccard_topk``, ``dedup_cluster_sizes``,
+``embedding_ann_lsh_topk``. Results land in SCALE.md.
+
+Up-scaling is replication WITHOUT creating cross-copy duplicates — the
+failure mode of naive replication is that every copy of a document is a
+near-dup of every other copy, so the TRUE pair count grows
+quadratically in the factor and the measurement can't distinguish
+algorithmic blow-up from genuine output growth. Instead:
+
+* documents: copy k suffixes every token with ``_k`` — shingle sets
+  across copies are disjoint, so each copy reproduces the sf0.1 dup
+  structure internally and the true workload grows linearly;
+* embeddings: copy k rotates the vector by k positions — decorrelates
+  LSH buckets across copies (identical copies would stack 16 identical
+  vectors per bucket).
+
+Run:  python scripts/scale_spot.py [--factors 1,4,16] [--out /tmp/scale_spot]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from webscrap_datapipeline_spark.catalog import load_table  # noqa: E402
+from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = ("near_dup_jaccard_topk", "dedup_cluster_sizes", "embedding_ann_lsh_topk")
+
+
+def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
+    docs = load_table(spark, "documents", SRC_SF)
+    emb = load_table(spark, "embeddings", SRC_SF)
+
+    doc_parts = []
+    emb_parts = []
+    for k in range(factor):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        off = k * 10_000_000
+        remapped = F.array_join(
+            F.transform(F.split("text", " "), lambda w: F.concat(w, F.lit(f"_{k}"))),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                remapped.alias("text"),
+                "lang",
+                "source",
+                F.length(remapped).alias("n_chars"),
+            )
+        )
+        rot = k % 64
+        rotated = F.concat(
+            F.slice("embedding", rot + 1, 64 - rot), F.slice("embedding", 1, rot)
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + off).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+
+    def union_all(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    os.makedirs(out_dir, exist_ok=True)
+    union_all(doc_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    union_all(emb_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,4,16")
+    ap.add_argument("--out", default="/tmp/scale_spot")
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+
+    from webscrap_datapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-spot")
+    results = []
+    for factor in factors:
+        corpus_dir = os.path.join(args.out, f"x{factor}")
+        build_corpus(spark, factor, corpus_dir)
+        for name in QUERIES:
+            fn = REGISTRY[name].fn
+            # warm the plan once at x1 only to amortize first-run JVM/codegen
+            t0 = time.monotonic()
+            df = fn(spark, corpus_dir)
+            n = df.count()
+            sec = round(time.monotonic() - t0, 3)
+            results.append({"query": name, "factor": factor, "rows": n, "sec": sec})
+            print(json.dumps(results[-1]), flush=True)
+    spark.stop()
+    shutil.rmtree(args.out, ignore_errors=True)
+
+    by_q: dict[str, dict[int, float]] = {}
+    for r in results:
+        by_q.setdefault(r["query"], {})[r["factor"]] = r["sec"]
+    print("== growth ratios (time ratio / data ratio; <1 ⇒ sub-linear cost growth)")
+    for q, ts in by_q.items():
+        fs = sorted(ts)
+        for a, b in zip(fs, fs[1:]):
+            print(f"{q}: x{a}->x{b}: time x{ts[b]/ts[a]:.2f} vs data x{b/a}")
+
+
+if __name__ == "__main__":
+    main()

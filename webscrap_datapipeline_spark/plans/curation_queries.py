@@ -25,9 +25,66 @@ from ..functions import text as TX
 from .registry import query
 
 _TOKENS = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), w -> w <> '')"
+_STOPSET = "('the','a','of','and','to','in','is','it')"
 
 
 # --- text curation ----------------------------------------------------------
+
+
+@query(
+    "dup_quality_interaction",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, md5(substr(text, 1, 120)) AS pfp,
+             {_TOKENS.format(c="text")} AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, pfp,
+             round((len(list_distinct(toks))::DOUBLE / len(toks)
+                  + len(list_filter(toks, w -> w IN {_STOPSET}))::DOUBLE / len(toks)
+                  + CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) / 3.0,
+                   6) AS quality,
+             COUNT(*) OVER (PARTITION BY pfp) AS grp_n
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT lang,
+           CASE WHEN grp_n > 1 THEN 'dup' ELSE 'unique' END AS dup_class,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS total_quality
+    FROM q GROUP BY 1, 2
+    """,
+    tags=("text", "dedup", "quality"),
+)
+def dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does duplication correlate with quality? Per (lang, dup/unique)
+    class: doc count and summed quality score, where dup membership is
+    the prefix-fingerprint family (prefix_dup_groups) — the evidence a
+    curation pipeline needs before deciding whether dedup survivors
+    should also pass a quality gate. Per-doc quality rounds to 6 dp then
+    accumulates as DECIMAL(10,6) (order-independent, exact on both
+    engines). One window shuffle on the 16-byte fingerprint, one
+    lang×2-sized aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("pfp")
+    q = (
+        docs.filter(TX.token_count("text") > 0)
+        .select(
+            "lang",
+            F.md5(F.substring("text", 1, 120)).alias("pfp"),
+            F.round(TX.quality_score("text"), 6).alias("quality"),
+        )
+        .withColumn("grp_n", F.count(F.lit(1)).over(w))
+    )
+    return (
+        q.groupBy(
+            "lang",
+            F.when(F.col("grp_n") > 1, "dup").otherwise("unique").alias("dup_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double").alias("total_quality"),
+        )
+    )
 
 
 @query(
@@ -529,3 +586,79 @@ def embedding_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
     ).orderBy("query_id", "rnk")
+
+
+@query(
+    "semantic_outlier_docs",
+    # The label centroid CTE is the proven label_centroids relation
+    # (6-dp-rounded per-dim means); dot products and norms accumulate as
+    # DECIMAL(24,12) casts of IEEE-identical double products, so the
+    # final cosine is one identical division+sqrt on both engines.
+    oracle="""
+    WITH comps0 AS (
+      SELECT label, d.i AS dim, d.x AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                           unnest(embedding) AS x) d
+    ), cent AS (
+      SELECT label, CAST(dim AS INT) AS dim,
+             round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS m
+      FROM comps0 GROUP BY label, dim
+    ), comps AS (
+      SELECT vec_id, label, CAST(d.i AS INT) AS dim, d.x::DOUBLE AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                           unnest(embedding) AS x) d
+    ), dots AS (
+      SELECT c.vec_id, c.label,
+             CAST(SUM(CAST(c.x * t.m AS DECIMAL(24,12))) AS DOUBLE) AS dp,
+             CAST(SUM(CAST(c.x * c.x AS DECIMAL(24,12))) AS DOUBLE) AS nx2,
+             CAST(SUM(CAST(t.m * t.m AS DECIMAL(24,12))) AS DOUBLE) AS nc2
+      FROM comps c JOIN cent t ON c.label = t.label AND c.dim = t.dim
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, label, round(dp / (sqrt(nx2) * sqrt(nc2)), 6) AS cos_centroid
+    FROM dots
+    ORDER BY cos_centroid ASC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("vector", "quality", "outlier"),
+)
+def semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier mining: the 10 vectors least similar (cosine) to
+    their own label's centroid — the embedding-space mislabel/noise
+    filter a curation pipeline runs before training. Reuses the
+    label_centroids relation; the centroid table is labels × dims rows →
+    broadcast back onto the exploded components, so the only large
+    shuffle is the per-vector aggregation on vec_id. Products accumulate
+    as DECIMAL(24,12) — order-independent, identical on both engines."""
+    from .vector_queries import label_centroids
+
+    cent = label_centroids(spark, sf_dir)  # (label, dim, m)
+    emb = load_table(spark, "embeddings", sf_dir)
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    joined = comps.join(F.broadcast(cent), ["label", "dim"])
+    d2412 = lambda c: c.cast("decimal(24,12)")  # noqa: E731
+    dots = joined.groupBy("vec_id", "label").agg(
+        F.sum(d2412(F.col("x") * F.col("m"))).cast("double").alias("dp"),
+        F.sum(d2412(F.col("x") * F.col("x"))).cast("double").alias("nx2"),
+        F.sum(d2412(F.col("m") * F.col("m"))).cast("double").alias("nc2"),
+    )
+    return (
+        dots.select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dp") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))), 6
+            ).alias("cos_centroid"),
+        )
+        .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
