@@ -1,0 +1,186 @@
+"""Semantic tests for the round-3 curation operators — pins the
+*behavioral* claims the DuckDB oracle can't express (recall against the
+exact baseline, threshold binding on adversarial inputs, ordering
+semantics of the funnel)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from webscrap_datapipeline_spark.plans import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+# --- fixed-codebook IVF ------------------------------------------------------
+
+
+def test_ivf_seeded_recall_against_brute_force(spark):
+    """The fixed-codebook IVF (nprobe=3 of 8 cells) must recover a
+    healthy fraction of the exact cosine top-5 — the approximation knob
+    is probing breadth, not correctness of the search machinery."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.similarity import brute_force_topk
+
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in REGISTRY["embedding_ivf_seeded_topk"].fn(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    assert len(ivf) == 25 and len(exact) == 25
+    recall = len(ivf & exact) / len(exact)
+    # 3/8 cells probed on a structureless corpus ⇒ expect ≳ nprobe/cells
+    # of the exact neighbors; pin well above chance but below perfection.
+    assert recall >= 0.3, f"IVF recall {recall} collapsed — probe/assign broken"
+
+
+def test_ivf_search_exact_when_all_cells_probed(spark):
+    """nprobe = n_cells makes IVF exhaustive: it must EQUAL brute force
+    exactly (same pairs, same ranks) — partitioning must never lose or
+    reorder candidates when every cell is searched."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_search,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    seeds = corpus.filter(F.col("vec_id") % 61 == 8).orderBy("vec_id").limit(8).collect()
+    centroids = [(i + 1, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)]
+    ivf = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in ivf_search(corpus, queries, centroids, k=5, nprobe=len(centroids)).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    assert ivf == exact
+
+
+# --- repetition filter -------------------------------------------------------
+
+
+def test_repetition_flag_binds_on_degenerate_doc(spark, tmp_path):
+    """A doc that is one bigram repeated must be flagged; a doc of all-
+    distinct bigrams must not — proves the cross-product threshold is
+    live, not vacuously true on the natural corpus."""
+    repeated = " ".join(["spam", "ham"] * 30)  # top bigram ≫ 1/20 of mass
+    diverse = " ".join(f"w{i}" for i in range(60))  # every bigram unique
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="xx", text=repeated, source="t", n_chars=len(repeated)),
+            Row(doc_id=2, lang="yy", text=diverse, source="t", n_chars=len(diverse)),
+        ]
+    )
+    out_dir = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+    res = {
+        r["lang"]: r
+        for r in REGISTRY["repetition_top_bigram_stats"].fn(spark, out_dir).collect()
+    }
+    assert res["xx"]["n_flagged"] == 1
+    assert res["yy"]["n_flagged"] == 0
+    # all-repeat doc: the top bigram owns (almost) the whole bigram mass
+    assert res["xx"]["total_top_bigram"] * 2 > res["xx"]["total_bigrams"]
+
+
+# --- funnel ordering ---------------------------------------------------------
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=ts,
+                user_id=uid,
+                event_type=et,
+                value=1.0,
+                props="{}",
+            )
+            for i, (uid, ts, et) in enumerate(rows)
+        ]
+    )
+
+
+def test_funnel_requires_stage_order_and_window(spark, tmp_path):
+    """Users must traverse signup → view → purchase in that order, each
+    hop within 4 h. A purchase BEFORE the view, or a view 5 h after
+    signup, must not convert."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full ordered funnel within windows → counts everywhere
+        (1, t0, "signup"), (1, t0 + h, "view"), (1, t0 + 2 * h, "purchase"),
+        # user 2: purchase precedes view → stops at view stage
+        (2, t0, "signup"), (2, t0 + 2 * h, "purchase"), (2, t0 + 3 * h, "view"),
+        # user 3: view outside the 4 h window → stops at signup stage
+        (3, t0, "signup"), (3, t0 + 5 * h, "view"), (3, t0 + 6 * h, "purchase"),
+        # user 4: never signs up → counts nowhere
+        (4, t0, "view"), (4, t0 + h, "purchase"),
+    ]
+    out_dir = str(tmp_path / "ev")
+    _events_df(spark, rows).write.mode("overwrite").parquet(out_dir + "/events.parquet")
+    res = {
+        r["stage"]: r["n_users"]
+        for r in REGISTRY["funnel_stage_counts"].fn(spark, out_dir).collect()
+    }
+    assert res == {"signup": 3, "view_within_4h": 2, "purchase_within_4h": 1}
+
+
+def test_transition_matrix_orders_by_ts_then_event_id(spark, tmp_path):
+    """Simultaneous timestamps break ties on event_id — the transition
+    counts must be deterministic under ts collisions."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view"), (1, t0, "click"), (1, t0, "purchase")]
+    out_dir = str(tmp_path / "ev2")
+    _events_df(spark, rows).write.mode("overwrite").parquet(out_dir + "/events.parquet")
+    res = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in REGISTRY["event_transition_matrix"].fn(spark, out_dir).collect()
+    }
+    assert res == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+# --- semantic outliers -------------------------------------------------------
+
+
+def test_semantic_outlier_surfaces_planted_mislabel(spark, tmp_path):
+    """A vector planted far from its own label's centroid (it belongs to
+    the other cluster) must appear in the outlier top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    a = np.array([1.0] * 4 + [0.0] * 4)
+    b = np.array([0.0] * 4 + [1.0] * 4)
+    for i in range(40):
+        base = a if i % 2 == 0 else b
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=i % 2))
+    # vec 100: label 0 but lives at cluster b → worst cosine to centroid 0
+    rows.append(Row(vec_id=100, embedding=[float(x) for x in b], label=0))
+    out_dir = str(tmp_path / "emb")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        out_dir + "/embeddings.parquet"
+    )
+    out = REGISTRY["semantic_outlier_docs"].fn(spark, out_dir).collect()
+    assert out[0]["vec_id"] == 100 and out[0]["label"] == 0
