@@ -662,3 +662,274 @@ def semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --- corpus observability & stream-audit batch twins -------------------------
+
+_SHINGLES = """unnest(list_distinct(list_transform(
+      range(1, greatest(len({t}) - 2, 0) + 1),
+      i -> array_to_string(list_slice({t}, i, i + 2), ' '))))"""
+
+
+@query(
+    "shingle_df_histogram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, {_SHINGLES.format(t=_TOKENS.format(c="text"))} AS shingle
+      FROM documents
+    ), dft AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+    )
+    SELECT CASE WHEN df = 1 THEN 1 WHEN df < 4 THEN 2 WHEN df < 8 THEN 4
+                WHEN df < 16 THEN 8 WHEN df < 32 THEN 16 WHEN df < 64 THEN 32
+                ELSE 64 END AS df_bucket_floor,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS total_postings
+    FROM dft GROUP BY 1
+    """,
+    tags=("text", "dedup", "observability"),
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram (power-of-2 buckets via
+    integer CASE — no log portability hazard): the observability table
+    that justifies the Jaccard posting-list frequency cap. The long tail
+    (df=1) is dead weight the pair join never touches; the head (df ≥
+    cap) is exactly what the cap drops — this query is how an operator
+    picks the cap for a new corpus. Same explode/groupBy shape as the
+    dedup path itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(TX.word_shingles("text", 3)).alias("shingle")
+    )
+    dft = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    df_ = F.col("df")
+    bucket = (
+        F.when(df_ == 1, 1)
+        .when(df_ < 4, 2)
+        .when(df_ < 8, 4)
+        .when(df_ < 16, 8)
+        .when(df_ < 32, 16)
+        .when(df_ < 64, 32)
+        .otherwise(64)
+    )
+    return dft.groupBy(bucket.alias("df_bucket_floor")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("total_postings"),
+    )
+
+
+@query(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, md5(substr(text, 1, 120)) AS pfp,
+             len({_TOKENS.format(c="text")}) AS n_toks
+      FROM documents
+    ), k AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY pfp ORDER BY doc_id) AS r FROM t
+    )
+    SELECT lang,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN r = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN r > 1 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_saved
+    FROM k GROUP BY 1
+    """,
+    tags=("text", "dedup", "observability"),
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget saved by prefix-family dedup per language: total
+    tokens vs tokens kept (one canonical doc per family, lowest doc_id)
+    vs tokens dropped — the cost/benefit report a curation run publishes
+    before committing a dedup policy. Integer-exact; one window shuffle
+    on the 16-byte fingerprint, one lang-sized aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.substring("text", 1, 120)).alias("pfp"),
+        TX.token_count("text").alias("n_toks"),
+    )
+    w = Window.partitionBy("pfp").orderBy("doc_id")
+    k = t.withColumn("r", F.row_number().over(w))
+    return k.groupBy("lang").agg(
+        F.sum("n_toks").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("r") > 1, F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_saved"),
+    )
+
+
+@query(
+    "cross_source_shingle_overlap",
+    oracle=f"""
+    WITH ss AS (
+      SELECT DISTINCT source, sh.shingle
+      FROM (SELECT source, {_SHINGLES.format(t=_TOKENS.format(c="text"))} AS shingle
+            FROM documents) sh
+    ), capped AS (
+      SELECT shingle FROM ss GROUP BY 1 HAVING COUNT(*) <= 1000
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_shingles
+    FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+    JOIN capped c ON c.shingle = a.shingle
+    GROUP BY 1, 2
+    ORDER BY shared_shingles DESC, source_a ASC, source_b ASC
+    LIMIT 10
+    """,
+    tags=("text", "dedup", "cross-source"),
+)
+def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share content? Top-10 source pairs by shared
+    distinct-shingle count — the corpus-level contamination/mirror-site
+    signal (two crawls of the same site light up here long before
+    doc-level dedup finds the pairs). The self-join is on the shingle
+    key over source-deduplicated postings with the same frequency cap as
+    the Jaccard path, so fan-out is bounded by sources-per-shingle, not
+    docs."""
+    docs = load_table(spark, "documents", sf_dir)
+    ss = docs.select(
+        "source", F.explode(TX.word_shingles("text", 3)).alias("shingle")
+    ).distinct()
+    capped = (
+        ss.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .filter(F.col("n_src") <= 1000)
+        .select("shingle")
+    )
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(capped, "shingle")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .orderBy(
+            F.col("shared_shingles").desc(),
+            F.col("source_a").asc(),
+            F.col("source_b").asc(),
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "value_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(24,10))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round(abs(e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS abs_z
+    FROM events e JOIN s USING (event_type)
+    ORDER BY abs_z DESC, event_id ASC
+    LIMIT 10
+    """,
+    tags=("events", "anomaly"),
+)
+def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly mining: the 10 events furthest (in
+    within-type standard deviations) from their type's mean value. The
+    stats table is 5 rows → broadcast back onto the stream; moments
+    accumulate as decimals (order-independent), then both engines run
+    the same IEEE divisions/sqrt. The batch twin of a streaming
+    anomaly-detector's scoring pass."""
+    events = load_table(spark, "events", sf_dir)
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    e = events.join(F.broadcast(s), "event_type")
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.abs(F.col("value") - mean) / std, 6).alias("abs_z"),
+        )
+        .orderBy(F.col("abs_z").desc(), F.col("event_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "late_arrival_audit",
+    oracle="""
+    WITH corpus AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+      UNION ALL
+      SELECT event_id + 1000000, ts - INTERVAL 30 MINUTE, user_id, event_type
+      FROM events WHERE event_id % 50 = 0
+    ), w AS (
+      SELECT event_type, epoch_us(ts) AS tus,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM corpus
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (
+             WHERE prev_max IS NOT NULL AND prev_max - tus > 600000000
+           ) AS BIGINT) AS n_late_10m,
+           CAST(MAX(CASE WHEN prev_max IS NULL THEN 0
+                         ELSE greatest(prev_max - tus, 0) END) AS BIGINT)
+             AS max_disorder_us
+    FROM w GROUP BY 1
+    """,
+    tags=("events", "streaming-batch", "watermark"),
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lateness audit — the batch replay of watermark tuning:
+    treating event_id as arrival order, how far behind each user's
+    running max event-time do events arrive (µs-exact integers)?
+    ``n_late_10m`` is what a 10-minute watermark would drop;
+    ``max_disorder_us`` bounds the delay that loses nothing. The
+    synthetic stream arrives in order, so shifted copies of every 50th
+    event are unioned in arriving last with 30-min-old timestamps — the
+    audit must count exactly those. One window shuffle on user_id (the
+    same per-key ordering the streaming engine maintains in state)."""
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    late = events.filter(F.col("event_id") % 50 == 0).select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    corpus = events.unionByName(late)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tus = F.unix_micros("ts")
+    audited = corpus.select(
+        "event_type",
+        tus.alias("tus"),
+        F.max(tus).over(w).alias("prev_max"),
+    )
+    late_cond = F.col("prev_max").isNotNull() & (
+        F.col("prev_max") - F.col("tus") > 600000000
+    )
+    disorder = F.when(F.col("prev_max").isNull(), F.lit(0)).otherwise(
+        F.greatest(F.col("prev_max") - F.col("tus"), F.lit(0))
+    )
+    return audited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late_cond.cast("bigint")).cast("bigint").alias("n_late_10m"),
+        F.max(disorder).cast("bigint").alias("max_disorder_us"),
+    )
