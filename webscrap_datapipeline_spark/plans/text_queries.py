@@ -1195,3 +1195,109 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt.alias("target_share"),
         F.least(F.lit(1.0), tgt / cur).alias("sample_fraction"),
     )
+
+
+@query(
+    "minhash_estimate_calibration",
+    # Sketch-accuracy observability: for every portable-LSH candidate
+    # pair, the MinHash Jaccard ESTIMATE (matching signature components
+    # / 16) next to the EXACT shingle-set Jaccard — the calibration
+    # table that justifies (or indicts) the sketch parameters. Every
+    # stage of both columns replays in SQL.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS.format(c="text")}) - 2, 0) + 1),
+               i -> array_to_string(list_slice({_TOKENS.format(c="text")}, i, i + 2), ' ')
+             ))) AS s
+      FROM documents
+    ), h AS (
+      SELECT doc, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh
+    ), perms (i, a, b) AS (
+      VALUES {{PERMS}}
+    ), mins AS (
+      SELECT doc, i, MIN((a * h + b) % 4294967311) AS m
+      FROM h CROSS JOIN perms GROUP BY doc, i
+    ), bands AS (
+      SELECT doc, CAST(i // 4 AS INT) AS band,
+             string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+      FROM mins GROUP BY doc, band
+    ), pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), est AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(COUNT(*) FILTER (WHERE ma.m = mb.m) AS BIGINT) AS n_match
+      FROM pairs p
+      JOIN mins ma ON ma.doc = p.doc_a
+      JOIN mins mb ON mb.doc = p.doc_b AND mb.i = ma.i
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+      FROM pairs p
+      JOIN sh a ON a.doc = p.doc_a
+      JOIN sh b ON b.doc = p.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.n_match / 16.0, 6) AS est_jaccard,
+           round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc = e.doc_a
+    JOIN sizes sb ON sb.doc = e.doc_b
+    """.replace("{PERMS}", _minhash_perms_sql(16)),
+    tags=("dedup", "minhash", "observability"),
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration: LSH candidate pairs (the portable
+    variant\'s banding) scored with BOTH the 16-component signature
+    estimate and the exact shingle-set Jaccard. Estimates within ~1/16
+    of exact confirm the sketch; systematic gaps mean the permutation
+    family or band layout is wrong. The Spark side computes the estimate
+    with one zip_with over the two signature arrays and the exact value
+    with array_intersect on the (array-valued) shingle sets — both joins
+    touch only candidate pairs, never the corpus square."""
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    pairs = minhash_lsh_portable_pairs(spark, sf_dir)
+    sigs = DD.minhash_signatures_portable(docs, "text", "doc_id", n=3, num_hashes=16)
+    shs = docs.select(
+        F.col("doc_id").alias("doc"), TX.word_shingles("text", 3).alias("shset")
+    )
+    est = (
+        pairs.join(sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+                )
+            ).alias("n_match"),
+        )
+    )
+    ex = (
+        pairs.join(shs.select(F.col("doc").alias("doc_a"), F.col("shset").alias("sa")), "doc_a")
+        .join(shs.select(F.col("doc").alias("doc_b"), F.col("shset").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("sza"),
+            F.size("sb").alias("szb"),
+        )
+    )
+    return est.join(ex, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_match") / F.lit(16.0), 6).alias("est_jaccard"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")),
+            6,
+        ).alias("exact_jaccard"),
+    )
