@@ -184,3 +184,55 @@ def test_semantic_outlier_surfaces_planted_mislabel(spark, tmp_path):
     )
     out = REGISTRY["semantic_outlier_docs"].fn(spark, out_dir).collect()
     assert out[0]["vec_id"] == 100 and out[0]["label"] == 0
+
+
+# --- observability query invariants -----------------------------------------
+
+
+def test_novelty_curve_accounting(spark):
+    """Novel shingles summed over all deciles must equal the corpus's
+    distinct-shingle count (every shingle is novel exactly once, at its
+    MIN doc_id), and no decile can be more than 100% novel."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.functions.text import word_shingles
+
+    rows = REGISTRY["corpus_novelty_curve"].fn(spark, SF_SMALL).collect()
+    total_novel = sum(r["novel_shingles"] for r in rows)
+    docs = load_table(spark, "documents", SF_SMALL)
+    n_distinct = (
+        docs.select(F.explode(word_shingles("text", 3)).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_distinct
+    assert all(0 <= r["novel_shingles"] <= r["total_shingles"] for r in rows)
+    # saturation: the first decile must be strictly more novel (per
+    # shingle) than the last — integer cross-product comparison
+    first = next(r for r in rows if r["id_decile"] == 0)
+    last = next(r for r in rows if r["id_decile"] == max(x["id_decile"] for x in rows))
+    assert (
+        first["novel_shingles"] * last["total_shingles"]
+        > last["novel_shingles"] * first["total_shingles"]
+    )
+
+
+def test_dedup_token_savings_accounting(spark):
+    """kept + saved == total per language, and summed savings equal the
+    token mass of non-canonical prefix-family members."""
+    rows = REGISTRY["dedup_token_savings"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["tokens_kept"] + r["tokens_saved"] == r["tokens_total"], r
+    assert sum(r["tokens_saved"] for r in rows) > 0  # corpus has real families
+
+
+def test_minhash_calibration_bounds_and_coherence(spark):
+    """Estimates and exact Jaccards live in [0,1]; candidate pairs from
+    4x4 banding must have a high min-hash agreement (>= one full band =
+    4/16) — a pair with est < 0.25 would contradict its own candidacy."""
+    rows = REGISTRY["minhash_estimate_calibration"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert r["est_jaccard"] >= 0.25, r  # at least one identical band
