@@ -958,14 +958,14 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
         for r in assign_contiguous_ids(df, "k", num_partitions=3).collect()
     }
     assert got == {1: 0, 7: 1, 8: 2, 13: 3, 42: 4, 56: 5, 99: 6}
-    # plan never collapses to one partition: no global (partition-less) Sort
-    plan = (
-        assign_contiguous_ids(df, "k", num_partitions=3)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "rangepartitioning" in plan.lower()
+    # plan never collapses to one partition: the range exchange runs
+    # inside the eager localCheckpoint (round-3 determinism fix), so the
+    # final plan is a checkpoint scan + a __pid-partitioned window —
+    # assert no single-partition exchange and no partition-less window
+    out = assign_contiguous_ids(df, "k", num_partitions=3)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "singlepartition" not in plan
+    assert "window" in plan and "__pid" in plan
 
 
 def test_int8_quantization_error_bound_and_roundtrip(spark):
@@ -1450,3 +1450,32 @@ def test_cross_modal_channels_are_individually_load_bearing(spark):
     vec_only = surviving_planted(vedges)
     assert vec_only[1] == 0
     assert vec_only[0] == n_text_copies
+
+
+def test_assign_contiguous_ids_dense_at_sampled_boundary_scale(spark):
+    """Round-3 regression: repartitionByRange samples its boundaries with
+    a per-execution seed, so the offset pass and the result pass used to
+    see DIFFERENT partitionings once the input was large enough that the
+    sampler no longer read every row — ids came out with gaps/collisions
+    (reproduced at sf0.1; tiny inputs hid it by sampling everything).
+    The eager localCheckpoint in assign_contiguous_ids freezes one
+    partitioning for both passes; this pins density at a size where
+    boundary sampling is genuinely partial, across repeated runs."""
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.ids import assign_contiguous_ids
+
+    n = 50_000
+    # bijective scramble of 0..n-1 (odd multiplier mod 2^32) -> unique,
+    # storage-order-decorrelated sort keys
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % (2 ** 32)).alias("k")
+    )
+    for _ in range(2):
+        ids = [
+            r["row_id"]
+            for r in assign_contiguous_ids(df, "k", num_partitions=8)
+            .orderBy("k")
+            .collect()
+        ]
+        assert ids == list(range(n))

@@ -36,8 +36,19 @@ def assign_contiguous_ids(
     of ``order_col`` (which must be unique — ties would make the rank
     assignment of equal keys arbitrary). Two-pass, no global window."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col).asc()).withColumn(
-        "__pid", F.spark_partition_id()
+    # The eager localCheckpoint is CORRECTNESS, not caching:
+    # repartitionByRange picks its boundaries by reservoir-sampling the
+    # input, and the sample seed differs per execution — without
+    # materializing, pass 1 (offset counts) and pass 2 (the returned
+    # plan) re-execute the exchange with DIFFERENT boundaries, so the
+    # offsets disagree with the actual partition sizes and ids come out
+    # with gaps/collisions. Reproduced at sf0.1 (round 3); the smaller
+    # SFs sample every row, which made the boundaries accidentally
+    # deterministic and hid the bug.
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # Pass 1: per-partition counts -> starting offsets (driver-sized).
     counts = ranged.groupBy("__pid").count().collect()

@@ -111,7 +111,9 @@ def _ordered_names() -> list[str]:
     def rank(name: str) -> tuple[int, int, int]:
         q = REGISTRY[name]
         mod = q.fn.__module__.rsplit(".", 1)[-1]
-        if name in _PINNED_FIRST:
+        if name in _PINNED_FIRST and name not in verified:
+            # self-retiring: once the driver records a green row for a
+            # pinned query, its pin stops consuming a window slot
             bucket = 0
         elif q.oracle is not None and name not in verified:
             bucket = 1  # exact check available but no green driver row yet
