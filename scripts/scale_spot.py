@@ -38,7 +38,12 @@ from webscrap_datapipeline_spark.catalog import load_table  # noqa: E402
 from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
 
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ("near_dup_jaccard_topk", "dedup_cluster_sizes", "embedding_ann_lsh_topk")
+QUERIES = tuple(
+    os.environ.get(
+        "SPARK_GRAFT_SCALE_QUERIES",
+        "near_dup_jaccard_topk,dedup_cluster_sizes,embedding_ann_lsh_topk",
+    ).split(",")
+)
 
 
 def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
