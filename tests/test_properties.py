@@ -194,6 +194,14 @@ _FLOAT_SENSITIVE = [
     "tfidf_top_terms",
     "label_centroids",
     "incremental_agg_maintenance",
+    # round-3 float-heavy additions (decimal-accumulated moments /
+    # products); a one-off full-registry 32-vs-3 sweep ran clean, this
+    # list keeps the heaviest float paths guarded per-run
+    "embedding_dim_variance",
+    "semantic_outlier_docs",
+    "value_anomaly_zscore",
+    "dup_quality_interaction",
+    "minhash_estimate_calibration",
 ]
 
 
