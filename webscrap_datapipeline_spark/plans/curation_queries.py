@@ -993,3 +993,43 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_novel").cast("bigint").alias("novel_shingles"),
         )
     )
+
+
+@query(
+    "train_val_test_split_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, len({_TOKENS.format(c="text")}) AS n_toks,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h < 230 THEN 'train'
+                WHEN h < 243 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+    tags=("text", "split", "training-data"),
+)
+def train_val_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test split by hashing the
+    document KEY (first md5 byte of doc_id: <230 train, <243 val, else
+    test) with per-(lang, split) doc and token counts. Hash-of-key
+    splitting is the only split that survives reruns, re-partitioning,
+    and incremental appends — a row's split never depends on scan order
+    or corpus size, unlike randomSplit/sample. Pure per-row codegen
+    projection + one small aggregate; the assignment column is the
+    splitter a shard-writer would partition by."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    split = (
+        F.when(h < 230, "train").when(h < 243, "val").otherwise("test").alias("split")
+    )
+    return docs.groupBy("lang", split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+    )
