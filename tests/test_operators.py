@@ -1479,3 +1479,47 @@ def test_assign_contiguous_ids_dense_at_sampled_boundary_scale(spark):
             .collect()
         ]
         assert ids == list(range(n))
+
+
+def test_budgeted_take_strict_prefix_and_boundary(spark):
+    """The crossing row is excluded (strict prefix <= budget); a budget
+    smaller than the first weight selects nothing; a budget covering
+    everything selects everything."""
+    from webscrap_datapipeline_spark.operators.ids import budgeted_take
+
+    df = spark.createDataFrame(
+        [(k, 10 * (k + 1)) for k in range(5)], ["k", "w"]
+    )  # weights 10,20,30,40,50 in k order; cumsums 10,30,60,100,150
+    got = sorted(
+        r["k"] for r in budgeted_take(df, ["k"], "w", budget=60, num_partitions=3).collect()
+    )
+    assert got == [0, 1, 2]  # cum 60 included, k=3 (cum 100) excluded
+    assert budgeted_take(df, ["k"], "w", budget=5, num_partitions=3).count() == 0
+    assert budgeted_take(df, ["k"], "w", budget=150, num_partitions=3).count() == 5
+
+
+def test_budgeted_take_matches_global_cumsum_at_sampled_boundary_scale(spark):
+    """Same determinism requirement as assign_contiguous_ids: at a size
+    where range-boundary sampling is partial, the two-pass prefix must
+    equal the naive global-window prefix, repeatedly."""
+    from pyspark.sql.window import Window
+
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.ids import budgeted_take
+
+    n = 20_000
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % (2 ** 32)).alias("k"),
+        (F.col("id") % 97 + 1).alias("w"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = sorted(
+        r["k"]
+        for r in df.withColumn("c", F.sum("w").over(w)).filter(F.col("c") <= 200_000).collect()
+    )
+    for _ in range(2):
+        got = sorted(
+            r["k"] for r in budgeted_take(df, ["k"], "w", budget=200_000, num_partitions=8).collect()
+        )
+        assert got == expected

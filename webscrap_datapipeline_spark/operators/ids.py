@@ -71,3 +71,51 @@ def assign_contiguous_ids(
         )
         .drop("__pid")
     )
+
+
+def budgeted_take(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep the prefix of ``df`` in the total order of ``order_cols``
+    whose running ``weight_col`` sum stays ≤ ``budget`` — "take the
+    first N tokens of the hash-shuffled corpus" without the naive
+    global-window cumulative sum (one-task bottleneck at scale).
+
+    Same two-pass shape as :func:`assign_contiguous_ids`: range-
+    partition on the order key (materialized eagerly — the same
+    boundary-sampling determinism requirement), collect per-partition
+    weight totals (driver-sized), broadcast prefix offsets back, and
+    filter on within-partition cumulative sum + offset. The first row
+    that would cross the budget is excluded (strict prefix ≤ budget).
+    Weights must be non-negative; the order key must be unique (ties
+    would make the crossing row ambiguous)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c).asc() for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(weight_col).alias("w")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["w"]
+    offset_expr: Column = F.lit(0)
+    if offsets:
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        offset_expr = mapping[F.col("__pid")]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(weight_col).over(w) + offset_expr
+    return (
+        ranged.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget)
+        .drop("__pid", "__cum")
+    )

@@ -1033,3 +1033,49 @@ def train_val_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "token_budget_take_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_TOKENS.format(c="text")}) AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT lang, n_toks,
+             SUM(n_toks) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM c WHERE cum <= 10000 GROUP BY 1
+    """,
+    tags=("text", "sampling", "training-data"),
+)
+def token_budget_take_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsampling: hash-shuffle the corpus
+    (md5 of doc_id — rerun/append-stable like the split op), take the
+    strict prefix whose running token sum stays ≤ 10 000, report per-
+    language doc/token counts of the selection. The oracle is the naive
+    global-window cumulative sum; operators/ids.budgeted_take computes
+    the same prefix with range-partition + broadcast offsets — no
+    single-task sort barrier, same two-pass discipline as the
+    contiguous-id assigner. Weights are integer token counts, so the
+    budget boundary is exact on both engines."""
+    from ..operators.ids import budgeted_take
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    taken = budgeted_take(docs, ["h", "doc_id"], "n_toks", budget=10_000)
+    return taken.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+    )
