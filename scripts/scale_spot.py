@@ -49,13 +49,16 @@ QUERIES = tuple(
 def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
     docs = load_table(spark, "documents", SRC_SF)
     emb = load_table(spark, "embeddings", SRC_SF)
+    events = load_table(spark, "events", SRC_SF)
 
     doc_parts = []
     emb_parts = []
+    ev_parts = []
     for k in range(factor):
         if k == 0:
             doc_parts.append(docs)
             emb_parts.append(emb)
+            ev_parts.append(events)
             continue
         off = k * 10_000_000
         remapped = F.array_join(
@@ -82,6 +85,19 @@ def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
                 "label",
             )
         )
+        # events: each copy is an independent user population (shifted
+        # user_id/event_id) with the original per-user time structure —
+        # per-key windows, funnels, and cohorts grow linearly
+        ev_parts.append(
+            events.select(
+                (F.col("event_id") + off).alias("event_id"),
+                "ts",
+                (F.col("user_id") + off).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
 
     def union_all(parts: list[DataFrame]) -> DataFrame:
         out = parts[0]
@@ -92,6 +108,7 @@ def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     union_all(doc_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     union_all(emb_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    union_all(ev_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
 def main() -> None:
