@@ -1079,3 +1079,116 @@ def token_budget_take_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "doc_char_class_profile",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS BIGINT)
+             AS alpha_chars,
+           CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+             AS digit_chars,
+           CAST(SUM(length(regexp_replace(text, '[^ ]', '', 'g'))) AS BIGINT)
+             AS space_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    tags=("text", "profile"),
+)
+def doc_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language (alpha/digit/space vs
+    total) — the cheap first-pass corpus profile that flags OCR noise,
+    number dumps, or markup residue before any tokenization. Counting
+    via strip-and-measure regexp_replace (identical RE2-safe patterns
+    both engines); integer-exact, pure codegen projection, lang-sized
+    aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def count_class(pattern: str) -> Column:
+        return F.length(F.regexp_replace("text", pattern, ""))
+
+    return docs.groupBy("lang").agg(
+        F.sum(count_class("[^a-zA-Z]")).cast("bigint").alias("alpha_chars"),
+        F.sum(count_class("[^0-9]")).cast("bigint").alias("digit_chars"),
+        F.sum(count_class("[^ ]")).cast("bigint").alias("space_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "user_activity_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT user_id, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS r,
+             COUNT(*) OVER () AS nu
+      FROM per_user
+    )
+    SELECT CAST(SUM(CASE WHEN r * 10 <= nu THEN n ELSE 0 END) AS BIGINT)
+             AS top_decile_events,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(MAX(nu) AS BIGINT) AS n_users
+    FROM ranked
+    """,
+    tags=("events", "skew", "observability"),
+)
+def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: how many events the top 10% of users (by
+    event count, integer cross-product decile test ``r*10 <= nu``)
+    account for — the hot-key/abuse signal that decides whether the
+    per-user pipelines need salting. The ranked relation is USER-sized
+    (already aggregated), so the global window here orders users, not
+    events — at 100 TB that is the small table."""
+    events = load_table(spark, "events", sf_dir)
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    ranked = per_user.withColumn("r", F.row_number().over(w)).withColumn(
+        "nu", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("r") * 10 <= F.col("nu"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("top_decile_events"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.max("nu").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "order_shipping_lag",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS total_lag_days,
+           CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS INT)
+             AS max_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("analytics", "join", "temporal"),
+)
+def order_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority (integer day diffs —
+    exact on both engines). The fact-fact equi-join shuffles on
+    l_orderkey/o_orderkey; day arithmetic and the per-priority aggregate
+    are codegen with map-side partials."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(lag).cast("bigint").alias("total_lag_days"),
+            F.max(lag).cast("int").alias("max_lag_days"),
+        )
+    )
