@@ -127,7 +127,12 @@ def main() -> None:
         build_corpus(spark, factor, corpus_dir)
         for name in QUERIES:
             fn = REGISTRY[name].fn
-            # warm the plan once at x1 only to amortize first-run JVM/codegen
+            if factor == factors[0]:
+                # discarded warm-up at the first factor: the first
+                # execution pays JVM/codegen/first-scan costs that would
+                # otherwise inflate the ×1 baseline and bias every
+                # growth ratio optimistically (round-3 ADVICE).
+                fn(spark, corpus_dir).count()
             t0 = time.monotonic()
             df = fn(spark, corpus_dir)
             n = df.count()

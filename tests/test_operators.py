@@ -968,6 +968,46 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
     assert "window" in plan and "__pid" in plan
 
 
+def test_contiguous_ids_offset_lookup_is_o1_array_not_map_scan(spark):
+    """Round-3 VERDICT item 3: the broadcast offsets must be an array
+    literal probed by element_at (O(1) positional access), never a
+    create_map literal whose lookup is a linear scan over the key list —
+    a per-row O(P) cost that grows with cluster width."""
+    from webscrap_datapipeline_spark.operators.ids import (
+        assign_contiguous_ids,
+        budgeted_take,
+    )
+
+    df = spark.createDataFrame([(k, 10) for k in range(50)], ["k", "w"])
+    for out in (
+        assign_contiguous_ids(df, "k", num_partitions=4),
+        budgeted_take(df, ["k"], "w", budget=200, num_partitions=4),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert "element_at" in plan
+        assert "keys:" not in plan and "map(" not in plan
+
+
+def test_assign_contiguous_ids_multi_column_desc_rank(spark):
+    """Multi-column ordering (added for the rank-free activity-
+    concentration query): global rank by (n DESC, k ASC) must equal the
+    naive global window, computed without one."""
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.ids import assign_contiguous_ids
+
+    rows = [(1, 5), (2, 9), (3, 5), (4, 1), (5, 9), (6, 3)]
+    df = spark.createDataFrame(rows, ["k", "n"])
+    got = {
+        r["k"]: r["r"]
+        for r in assign_contiguous_ids(
+            df, [F.col("n").desc(), F.col("k").asc()], id_name="r", num_partitions=3
+        ).collect()
+    }
+    # order: (9,k2) (9,k5) (5,k1) (5,k3) (3,k6) (1,k4)
+    assert got == {2: 0, 5: 1, 1: 2, 3: 3, 6: 4, 4: 5}
+
+
 def test_int8_quantization_error_bound_and_roundtrip(spark):
     import math
 

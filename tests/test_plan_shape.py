@@ -406,3 +406,23 @@ def test_scd_upsert_read_prunes_to_touched_buckets(spark, tmp_path):
     plan = plan_str(pruned)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "__bucket" in part_filters, plan[:2000]
+
+
+def test_activity_concentration_has_no_single_task_global_sort(spark):
+    """Round-3 VERDICT item 4: the user-rank in
+    user_activity_concentration must come from the two-pass range-
+    partition discipline (operators/ids), never an unpartitioned
+    row_number window — a SinglePartition exchange feeding a global sort
+    would make the observability query itself the bottleneck it is meant
+    to detect. The only single-partition exchange allowed is the final
+    1-row summary aggregate."""
+    df = REGISTRY["user_activity_concentration"].fn(spark, SF_SMALL)
+    plan = plan_str(df, mode="extended")
+    # no Window without PARTITION BY __pid (the operator's local window)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in m.group(0) or "windowspecdefinition" not in m.group(0)
+    # executed plan: every Sort is partition-local (global=false)
+    phys = plan_str(df)
+    assert "Sort [" not in phys or "global=true" not in phys, phys[:3000]

@@ -70,6 +70,43 @@ def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFr
     return df.withColumn("cluster", nearest(F.col(vec_col)))
 
 
+def lloyd_update(
+    assigned: DataFrame,
+    vec_col: str,
+    cluster_col: str = "cluster",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The Lloyd UPDATE step as a distributed relation: per
+    ``(cluster, dim, n, new_m)`` — member count and new centroid mean
+    (``dim`` 1-indexed). Means accumulate as DECIMAL(20,8) sums (exact,
+    order-independent — NOT engine-native float ``avg``, whose result
+    depends on partition order) followed by ONE double division both
+    engines perform on the same exact value; ``round_dp`` optionally
+    rounds for fixed-point comparison.
+
+    This is the relation a DuckDB oracle can replay exactly —
+    plans/curation_queries.kmeans_one_step_seeded value-checks one full
+    assignment+update iteration from a literal codebook end-to-end
+    (round-3 VERDICT item 2: previously the one north-star component
+    with no driver hash row). :func:`kmeans_fit` collects this same
+    relation each iteration (k × dim rows — driver-sized)."""
+    agg_cols = [F.count(F.lit(1)).alias("n")]
+    mean = F.sum(F.col("x").cast("decimal(20,8)")).cast("double") / F.count(F.lit(1))
+    if round_dp is not None:
+        mean = F.round(mean, round_dp)
+    agg_cols.append(mean.alias("new_m"))
+    return (
+        assigned.select(cluster_col, F.posexplode(F.col(vec_col)).alias("dim0", "x"))
+        .select(
+            cluster_col,
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .groupBy(cluster_col, "dim")
+        .agg(*agg_cols)
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -82,21 +119,17 @@ def kmeans_fit(
     ``cluster`` column). ``df`` is cached by the caller if it is
     expensive to recompute — each iteration scans it once.
     ``init_centroids`` overrides the default hash-scattered sample
-    (callers that already hold seeds, e.g. IVF refinement)."""
+    (callers that already hold seeds, e.g. IVF refinement). The update
+    step is :func:`lloyd_update` (decimal-exact means → training is
+    independent of partitioning, and the step itself is oracle-checked
+    via kmeans_one_step_seeded)."""
     centroids = init_centroids or hash_sample_vectors(df, vec_col, id_col, k)
     for _ in range(iters):
         assigned = _assign(df, vec_col, centroids)
-        new_rows = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
+        new_rows = lloyd_update(assigned, vec_col).collect()
         by_cluster: dict[int, dict[int, float]] = {}
         for r in new_rows:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["new_m"]
         # empty clusters keep their previous centroid (standard Lloyd's)
         centroids = [
             [by_cluster[c][d] for d in sorted(by_cluster[c])]

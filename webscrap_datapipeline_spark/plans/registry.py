@@ -69,22 +69,25 @@ _MODULE_RANK = {
 }
 
 
-def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
-    """(hash-verified names, driver-seen names), derived from the
-    committed CORRECTNESS_r*.json files rather than a hand-maintained
-    list (round-2 ADVICE: a hard-coded frozenset silently drifts from
-    the actual driver record). Missing/corrupt files degrade to empty
-    sets — every query then competes for a window slot, which is the
-    safe direction."""
+def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
+    """({name: last round with a green hash row}, driver-seen names),
+    derived from the committed CORRECTNESS_r*.json files rather than a
+    hand-maintained list (round-2 ADVICE: a hard-coded frozenset
+    silently drifts from the actual driver record). Missing/corrupt
+    files degrade to empty — every query then competes for a window
+    slot, which is the safe direction."""
     import json
     import os
+    import re
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    verified: set[str] = set()
+    last_green: dict[str, int] = {}
     seen: set[str] = set()
     for fname in sorted(os.listdir(repo_root)):
-        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
             continue
+        rnd = int(m.group(1))
         try:
             with open(os.path.join(repo_root, fname)) as f:
                 rows = json.load(f)
@@ -95,35 +98,47 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
         for name, row in rows.items():
             seen.add(name)
             if isinstance(row, dict) and row.get("hash_match") is True:
-                verified.add(name)
-    return frozenset(verified), frozenset(seen)
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, frozenset(seen)
 
 
-# Queries re-shaped THIS round to clear a driver-comparator artifact
-# (r2 red rows + the array-output query the faithful local comparator
-# flagged) — their fresh driver row is the round's first deliverable.
-_PINNED_FIRST = ("late_lines_by_returnflag", "label_centroids", "user_event_type_sets")
+# Queries whose PLAN or ORACLE changed in the round named by the pin —
+# already verified in an earlier round, but the verified code is not the
+# committed code anymore, so a fresh driver row outranks re-greening
+# stale-but-unchanged queries. A pin retires once the driver records a
+# green row in a round >= its pin round (then it rejoins the normal
+# least-recently-verified rotation).
+_PINNED_FIRST: dict[str, int] = {
+    # round 4: ids.py offset-lookup rewrite (O(P) map scan → O(1) array)
+    "doc_global_row_ids": 4,
+    "token_budget_take_stats": 4,
+    # round 4: rank-free rewrite (two-pass range-partition rank)
+    "user_activity_concentration": 4,
+}
 
 
 def _ordered_names() -> list[str]:
-    verified, seen = _driver_history()
+    last_green, seen = _driver_history()
 
     def rank(name: str) -> tuple[int, int, int]:
         q = REGISTRY[name]
         mod = q.fn.__module__.rsplit(".", 1)[-1]
-        if name in _PINNED_FIRST and name not in verified:
-            # self-retiring: once the driver records a green row for a
-            # pinned query, its pin stops consuming a window slot
-            bucket = 0
-        elif q.oracle is not None and name not in verified:
+        if name in _PINNED_FIRST and last_green.get(name, 0) < _PINNED_FIRST[name]:
+            bucket = 0  # plan/oracle changed this round — re-verify first
+        elif q.oracle is not None and name not in last_green:
             bucket = 1  # exact check available but no green driver row yet
         elif q.oracle is None and name not in seen:
             bucket = 2  # rows-only, never even driver-seen
-        elif q.oracle is None:
-            bucket = 3  # rows-only, already driver-seen; re-check adds nothing
+        elif q.oracle is not None:
+            bucket = 3  # hash-verified: least-recently-verified first, so
+            # the window is a rotating re-verification budget (round-3
+            # VERDICT item 1 — evidence freshness, oldest rows first)
         else:
-            bucket = 4  # hash-verified; local parity keeps watching it
-        return (bucket, _MODULE_RANK.get(mod, 99), 0)
+            bucket = 4  # rows-only, already driver-seen: a repeat rows-only
+            # check adds nothing, so these yield their slots to the
+            # hash-verified rotation
+        age = last_green.get(name, 0) if bucket == 3 else 0
+        return (bucket, age, _MODULE_RANK.get(mod, 99))
 
     return sorted(REGISTRY, key=rank)  # stable: insertion order within a bucket
 

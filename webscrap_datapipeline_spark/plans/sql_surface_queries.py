@@ -516,24 +516,55 @@ def order_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lineitem_sample_stats",
-    oracle=None,  # sampling is seeded-RNG-specific per engine by design;
-    # pytest pins the fraction tolerance and determinism under a fixed seed
-    tags=("sample", "rows-only"),
+    # Hash-of-key Bernoulli: the selection predicate (first md5 byte of
+    # the composite line key < 26 ≈ 10.16%) is identical in both
+    # dialects, so — unlike engine-seeded `sample()`, whose RNG stream
+    # is engine-internal — the sampled SET is value-checkable exactly
+    # (round-3 VERDICT item 6: one fewer rows-only row). avg goes
+    # through an exact decimal sum + one shared IEEE division per the
+    # registry determinism rules.
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_quantity FROM lineitem
+      WHERE CAST(('0x' || substring(md5(l_orderkey || '|' || l_linenumber), 1, 2))
+                 AS BIGINT) < 26
+    )
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty
+    FROM s GROUP BY 1
+    """,
+    tags=("sample", "hash-bernoulli"),
 )
 def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample (fraction=0.1, fixed seed) → grouped stats.
-    Sampling is THE first step of any 100 TB profiling pass: the scan
-    applies the coin-flip inside the reader, so downstream cost scales
-    with the fraction, not the table. Seeded for reproducibility within
-    Spark; cross-engine value parity is impossible by construction
-    (different RNG streams), hence rows-only."""
+    """~10% Bernoulli sample → grouped stats, selected by HASHING THE
+    ROW KEY (first md5 byte of (l_orderkey, l_linenumber) < 26/256)
+    rather than ``df.sample(fraction, seed)``. Sampling is THE first
+    step of any 100 TB profiling pass; hash-of-key selection keeps it a
+    pure scan-level projection+filter (no shuffle, cost scales with the
+    table scan) while making membership rerun/append-stable AND
+    engine-independent — the same row is picked on every engine, which
+    is what lets the oracle value-check the sample itself. The
+    engine-RNG path (`sample()`/TABLESAMPLE, reader-level pushdown,
+    per-engine stream) remains covered rows-only by
+    stratified_event_sample and its pytest fraction/determinism pins."""
     li = load_table(spark, "lineitem", sf_dir)
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("bigint")
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(h < 26)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty"),
         )
     )
 
