@@ -1,0 +1,133 @@
+"""Registry-wide oracle parity at REPLICATED scale — closes the last
+evidence gap from VERDICT.md round 3 ("What's missing" #4: oracle
+parity proven only up to sf0.1).
+
+The driver's correctness gate runs at sf0.01 and the local pytest twin
+at sf0.001/sf0.1; no shipped corpus is larger. But nothing about the
+comparison itself is scale-bound: DuckDB reads the same parquet Spark
+does, so a synthetically up-scaled corpus lets the faithful comparator
+(tests/oracle_compare.py — the driver's pandas/dtype-sensitive twin)
+check EVERY oracled query at sf0.4/sf1.6-equivalent volume. This is
+the sweep that would expose residual float-accumulation-order traps,
+sampler/boundary nondeterminism, or total-order violations that only
+manifest once partitions stop seeing the whole table (exactly how the
+round-3 ``assign_contiguous_ids`` bug and the round-3-ADVICE
+``late_arrival_audit`` id-collision hazard behave: invisible at small
+SF, silent flakes at scale).
+
+Corpus construction (factor k):
+  * documents / embeddings / events — scripts/scale_spot.build_corpus
+    (token-remapped / vector-rotated / user-shifted copies: the dup
+    structure and per-key time structure grow linearly, never
+    quadratically);
+  * orders / lineitem — k copies with o_orderkey / l_orderkey shifted
+    by k·10⁷ (PK uniqueness) and ALL dimension FKs (custkey, partkey,
+    suppkey) left intact, so every join still resolves and per-dim
+    aggregates simply grow k-fold;
+  * region / nation / customer / supplier / part — copied as-is
+    (dimensions; replicating them would break FK uniqueness).
+
+Run:  python scripts/scaled_parity.py [--factor 16] [--out /tmp/scaled_parity]
+      [--queries name1,name2]   # default: every registered query
+Prints one line per query (ok/fail + Spark/DuckDB seconds) and a
+summary; exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_spot import SRC_SF, build_corpus  # noqa: E402
+from webscrap_datapipeline_spark.catalog import load_table  # noqa: E402
+from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
+
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_tpch(spark, factor: int, out_dir: str) -> None:
+    """Replicate the relational half of the corpus (see module doc)."""
+    for t in DIM_TABLES:
+        load_table(spark, t, SRC_SF).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    orders = load_table(spark, "orders", SRC_SF)
+    lineitem = load_table(spark, "lineitem", SRC_SF)
+    o_parts, l_parts = [], []
+    for k in range(factor):
+        off = k * 10_000_000
+        o_parts.append(orders.withColumn("o_orderkey", F.col("o_orderkey") + off))
+        l_parts.append(lineitem.withColumn("l_orderkey", F.col("l_orderkey") + off))
+    out_o, out_l = o_parts[0], l_parts[0]
+    for p in o_parts[1:]:
+        out_o = out_o.unionByName(p)
+    for p in l_parts[1:]:
+        out_l = out_l.unionByName(p)
+    out_o.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    out_l.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=16)
+    ap.add_argument("--out", default="/tmp/scaled_parity")
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
+    args = ap.parse_args()
+
+    from tests.oracle_compare import compare, duckdb_con
+    from webscrap_datapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scaled-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = os.path.join(args.out, f"x{args.factor}")
+    if not os.path.isdir(corpus):
+        os.makedirs(corpus, exist_ok=True)
+        build_corpus(spark, args.factor, corpus)
+        build_tpch(spark, args.factor, corpus)
+    con = duckdb_con(corpus)
+
+    names = (
+        [n for n in args.queries.split(",") if n]
+        if args.queries
+        else list(REGISTRY)
+    )
+    fails, results = [], []
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.monotonic()
+        df = q.fn(spark, corpus)
+        if q.oracle is None:
+            n = df.count()
+            results.append({"query": name, "rows_only": n, "sec": round(time.monotonic() - t0, 2)})
+            print(json.dumps(results[-1]), flush=True)
+            continue
+        res = compare(df, con, q.oracle)
+        t_spark = round(time.monotonic() - t0, 2)
+        row = {"query": name, "ok": res["ok"], "sec": t_spark,
+               "rows": res.get("spark_rows")}
+        if not res["ok"]:
+            row["err"] = str(res.get("err", ""))[:200]
+            row["first_diffs"] = str(res.get("first_diffs", ""))[:400]
+            fails.append(name)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(args.out, ignore_errors=True)
+    n_oracled = sum(1 for r in results if "ok" in r)
+    print(f"== scaled parity x{args.factor}: {n_oracled - len(fails)}/{n_oracled} "
+          f"oracled green, {len(results) - n_oracled} rows-only ran; FAILS={fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

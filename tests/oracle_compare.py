@@ -50,6 +50,10 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            # Spark-written layout (scripts/scaled_parity.py corpora):
+            # the ".parquet" path is a directory of part files
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 

@@ -286,3 +286,80 @@ def test_label_centroids_array_matches_exploded(spark):
         assert row["dim_count"] == len(row["centroid"])
         for i, m in enumerate(row["centroid"], start=1):
             assert exploded[(row["label"], i)] == m
+
+
+def test_driver_window_is_least_recently_verified_rotation():
+    """The driver verifies a 50-entry prefix of the registry export
+    order, so the ordering IS the evidence-allocation policy (round-3
+    VERDICT item 1): plan-changed pins first, then oracled queries with
+    no green driver row, then hash-verified queries OLDEST green row
+    first. Uses the committed CORRECTNESS_r*.json history."""
+    from webscrap_datapipeline_spark.plans.registry import (
+        _PINNED_FIRST,
+        _driver_history,
+        _ordered_names,
+        REGISTRY,
+    )
+
+    last_green, seen = _driver_history()
+    names = _ordered_names()
+    assert sorted(names) == sorted(REGISTRY)  # a permutation, nothing lost
+
+    active_pins = [
+        n for n, rnd in _PINNED_FIRST.items() if last_green.get(n, 0) < rnd
+    ]
+    # active pins occupy the very front
+    assert set(names[: len(active_pins)]) == set(active_pins)
+
+    # within the hash-verified tail, green rounds are non-decreasing —
+    # the stalest evidence always re-verifies first
+    verified_rounds = [
+        last_green[n]
+        for n in names
+        if n in last_green and n not in active_pins and REGISTRY[n].oracle is not None
+    ]
+    assert verified_rounds == sorted(verified_rounds)
+
+    # oracled-but-never-green queries outrank every verified query
+    first_verified = next(
+        i for i, n in enumerate(names) if n in last_green and n not in active_pins
+    )
+    for i, n in enumerate(names):
+        if REGISTRY[n].oracle is not None and n not in last_green and n not in active_pins:
+            assert i < first_verified, f"{n} (never green) sorted after verified rows"
+
+
+def test_scaled_parity_corpus_preserves_fk_integrity(spark, tmp_path):
+    """scripts/scaled_parity.py replicates facts with shifted order
+    keys and intact dimension FKs — every scaled lineitem row must
+    still resolve its order, part, and supplier, counts must grow
+    exactly k-fold, and order keys must stay unique (the properties
+    that make registry queries meaningful on the scaled corpus)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scripts.scale_spot import SRC_SF
+    from scripts.scaled_parity import build_tpch
+    from webscrap_datapipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "x2")
+    os.makedirs(out, exist_ok=True)
+    build_tpch(spark, 2, out)
+    orders = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(out, "part.parquet"))
+    base_orders = load_table(spark, "orders", SRC_SF).count()
+    base_li = load_table(spark, "lineitem", SRC_SF).count()
+    assert orders.count() == 2 * base_orders
+    assert li.count() == 2 * base_li
+    # order keys unique across copies
+    assert orders.select("o_orderkey").distinct().count() == 2 * base_orders
+    # every lineitem resolves its order and its part dimension
+    assert (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti").count()
+        == 0
+    )
+    assert (
+        li.join(part, li["l_partkey"] == part["p_partkey"], "left_anti").count() == 0
+    )
