@@ -294,7 +294,9 @@ def test_driver_window_is_least_recently_verified_rotation():
     VERDICT item 1): plan-changed pins first, then oracled queries with
     no green driver row, then hash-verified queries OLDEST green row
     first. Uses the committed CORRECTNESS_r*.json history."""
+    import webscrap_datapipeline_spark.plans.registry as reg
     from webscrap_datapipeline_spark.plans.registry import (
+        _DEFER_TO_ROUND,
         _PINNED_FIRST,
         _driver_history,
         _ordered_names,
@@ -304,6 +306,14 @@ def test_driver_window_is_least_recently_verified_rotation():
     last_green, seen = _driver_history()
     names = _ordered_names()
     assert sorted(names) == sorted(REGISTRY)  # a permutation, nothing lost
+
+    # mid-round additions defer: they sort dead-last until the previous
+    # round's CORRECTNESS file exists, never displacing the allocated
+    # re-verification budget
+    deferred = {
+        n for n, rnd in _DEFER_TO_ROUND.items() if reg._LATEST_ROUND < rnd - 1
+    }
+    assert set(names[len(names) - len(deferred):]) == deferred
 
     active_pins = [
         n for n, rnd in _PINNED_FIRST.items() if last_green.get(n, 0) < rnd
@@ -320,12 +330,18 @@ def test_driver_window_is_least_recently_verified_rotation():
     ]
     assert verified_rounds == sorted(verified_rounds)
 
-    # oracled-but-never-green queries outrank every verified query
+    # oracled-but-never-green queries (deferred aside) outrank every
+    # verified query
     first_verified = next(
         i for i, n in enumerate(names) if n in last_green and n not in active_pins
     )
     for i, n in enumerate(names):
-        if REGISTRY[n].oracle is not None and n not in last_green and n not in active_pins:
+        if (
+            REGISTRY[n].oracle is not None
+            and n not in last_green
+            and n not in active_pins
+            and n not in deferred
+        ):
             assert i < first_verified, f"{n} (never green) sorted after verified rows"
 
 

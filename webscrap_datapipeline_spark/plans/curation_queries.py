@@ -1253,6 +1253,150 @@ def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_CASE = """CASE WHEN hh < 230 THEN 'train' WHEN hh < 243 THEN 'val'
+                      ELSE 'test' END"""
+_DOC_HASH = """CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               AS BIGINT)"""
+
+
+@query(
+    "split_leakage_audit",
+    # Same hash-split CTE as train_val_test_split_stats; the overlap
+    # join is integer-count arithmetic keyed on the shingle string —
+    # exact on both engines. Registered mid-round-4, deferred to the
+    # round-5 driver window (plans/registry._DEFER_TO_ROUND).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, text, {_DOC_HASH} AS hh FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+             {_SHINGLES.format(t=_TOKENS.format(c="text"))} AS shingle
+      FROM d
+    ), tr AS (
+      SELECT DISTINCT shingle FROM s WHERE split = 'train'
+    ), te AS (
+      SELECT doc_id, lang, shingle FROM s WHERE split = 'test'
+    ), per_doc AS (
+      SELECT te.doc_id, te.lang, COUNT(*) AS n_sh, COUNT(tr.shingle) AS n_hit
+      FROM te LEFT JOIN tr USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS n_test_docs,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaky_test_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS test_shingles,
+           CAST(SUM(n_hit) AS BIGINT) AS overlapping_shingles
+    FROM per_doc GROUP BY 1
+    """,
+    tags=("text", "split", "decontamination", "training-data"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination audit for the hash train/val/test split:
+    per language, how many TEST documents share at least one 3-word
+    shingle with ANY train document, and what fraction of their shingle
+    mass overlaps. This is the check that catches the leakage a
+    random-split pipeline ships silently — eval scores inflated by
+    training on near-copies of the test set. Scale shape: one shingle
+    explode per doc (set semantics), the train side reduced to a
+    DISTINCT shingle relation, one equi-join keyed on the shingle — the
+    Jaccard posting-list discipline, linear in corpus shingle mass,
+    never doc×doc. Test docs with <3 tokens have no shingles and drop
+    out identically on both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    hh = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    split = F.when(hh < 230, "train").when(hh < 243, "val").otherwise("test")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.explode(TX.word_shingles("text", 3)).alias("shingle"),
+    )
+    train_sh = (
+        base.filter(F.col("split") == "train").select("shingle").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        base.filter(F.col("split") == "test")
+        .join(train_sh, "shingle", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("__hit").alias("n_hit"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.sum((F.col("n_hit") > 0).cast("bigint")).cast("bigint").alias("leaky_test_docs"),
+        F.sum("n_sh").cast("bigint").alias("test_shingles"),
+        F.sum("n_hit").cast("bigint").alias("overlapping_shingles"),
+    )
+
+
+@query(
+    "dup_leakage_across_split",
+    # Prefix-fingerprint grouping (the dup_quality_interaction idiom)
+    # intersected with the hash split: integer-exact, one equi-join on
+    # the fingerprint. Registered mid-round-4, deferred to round 5.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, md5(substr(text, 1, 120)) AS pfp, {_DOC_HASH} AS hh
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, pfp, {_SPLIT_CASE} AS split FROM t
+    ), tr AS (
+      SELECT DISTINCT pfp FROM s WHERE split = 'train'
+    ), te AS (
+      SELECT doc_id, lang, pfp FROM s WHERE split = 'test'
+    )
+    SELECT lang, COUNT(*) AS n_test_docs,
+           CAST(SUM(CASE WHEN tr.pfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_leaked_docs
+    FROM te LEFT JOIN tr USING (pfp)
+    GROUP BY 1
+    """,
+    tags=("text", "split", "dedup", "training-data"),
+)
+def dup_leakage_across_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate leakage across the train/test hash split: per
+    language, how many TEST documents are prefix-fingerprint duplicates
+    of some TRAIN document. The complement of split_leakage_audit —
+    that one measures soft n-gram contamination, this one exact-copy
+    leakage, the case where eval inflation is total. Key-hash splitting
+    cannot prevent duplicate leakage (copies have different doc_ids →
+    independent splits), which is exactly why a pipeline must dedup
+    BEFORE splitting; this query is the audit that proves whether it
+    did. One equi-join on the 16-byte fingerprint; the train side
+    reduces to DISTINCT fingerprints."""
+    docs = load_table(spark, "documents", sf_dir)
+    hh = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    split = F.when(hh < 230, "train").when(hh < 243, "val").otherwise("test")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.substring("text", 1, 120)).alias("pfp"),
+        split.alias("split"),
+    )
+    tr = (
+        t.filter(F.col("split") == "train").select("pfp").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    te = t.filter(F.col("split") == "test")
+    return (
+        te.join(tr, "pfp", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("bigint"))
+            .cast("bigint")
+            .alias("dup_leaked_docs"),
+        )
+    )
+
+
 @query(
     "order_shipping_lag",
     oracle="""

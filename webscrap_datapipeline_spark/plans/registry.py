@@ -83,11 +83,14 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last_green: dict[str, int] = {}
     seen: set[str] = set()
+    global _LATEST_ROUND
+    _LATEST_ROUND = 0
     for fname in sorted(os.listdir(repo_root)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
         if not m:
             continue
         rnd = int(m.group(1))
+        _LATEST_ROUND = max(_LATEST_ROUND, rnd)
         try:
             with open(os.path.join(repo_root, fname)) as f:
                 rows = json.load(f)
@@ -101,6 +104,22 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     return last_green, frozenset(seen)
 
+
+# Most recent round with a committed CORRECTNESS file (set as a side
+# effect of _driver_history; 0 when none exist).
+_LATEST_ROUND = 0
+
+# Queries added MID-round, after the current window's 50-slot budget was
+# already allocated (e.g. round 4's budget is the ≥45 stalest rows —
+# VERDICT r3 item 1). A deferred query sorts LAST until the CORRECTNESS
+# file of the round before its target exists, then it automatically
+# joins bucket 1 (oracled, never green) for the target round's window.
+# Local parity still covers it every pytest run in the meantime.
+_DEFER_TO_ROUND: dict[str, int] = {
+    # added mid-round-4 → first driver slot in round 5
+    "split_leakage_audit": 5,
+    "dup_leakage_across_split": 5,
+}
 
 # Queries whose PLAN or ORACLE changed in the round named by the pin —
 # already verified in an earlier round, but the verified code is not the
@@ -123,7 +142,9 @@ def _ordered_names() -> list[str]:
     def rank(name: str) -> tuple[int, int, int]:
         q = REGISTRY[name]
         mod = q.fn.__module__.rsplit(".", 1)[-1]
-        if name in _PINNED_FIRST and last_green.get(name, 0) < _PINNED_FIRST[name]:
+        if name in _DEFER_TO_ROUND and _LATEST_ROUND < _DEFER_TO_ROUND[name] - 1:
+            bucket = 9  # mid-round addition: yields this window entirely
+        elif name in _PINNED_FIRST and last_green.get(name, 0) < _PINNED_FIRST[name]:
             bucket = 0  # plan/oracle changed this round — re-verify first
         elif q.oracle is not None and name not in last_green:
             bucket = 1  # exact check available but no green driver row yet
