@@ -236,3 +236,44 @@ def test_minhash_calibration_bounds_and_coherence(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert 0.0 <= r["exact_jaccard"] <= 1.0
         assert r["est_jaccard"] >= 0.25, r  # at least one identical band
+
+
+def test_split_leakage_audits_detect_planted_leaks(spark, tmp_path):
+    """Oracle parity proves Spark==DuckDB; this pins that the leakage
+    audits detect what they claim. Planted corpus (ids pre-chosen so
+    the md5 split puts them where needed: 1,2,4 -> train; 44,49,65 ->
+    test): test doc 44 is an exact copy of train doc 1 (must show as
+    BOTH dup leakage and shingle leakage), test doc 49 shares a 3-word
+    shingle with train doc 2 but differs in its first 120 chars
+    (shingle leakage only), test doc 65 is disjoint (neither)."""
+    import os
+
+    from webscrap_datapipeline_spark.plans import REGISTRY
+
+    leak_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, leak_text, "en", "web"),
+        (2, "one two three four five six seven", "en", "web"),
+        (4, "totally separate train material here now", "en", "web"),
+        (44, leak_text, "en", "web"),  # exact copy of doc 1
+        (49, "xx " * 50 + "two three four nine ten", "en", "web"),
+        (65, "unrelated held out evaluation sentence words", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df = df.withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    dup = {
+        r["lang"]: r
+        for r in REGISTRY["dup_leakage_across_split"].fn(spark, sf_dir).collect()
+    }
+    assert dup["en"]["n_test_docs"] == 3
+    assert dup["en"]["dup_leaked_docs"] == 1  # only the exact copy
+
+    sh = {
+        r["lang"]: r
+        for r in REGISTRY["split_leakage_audit"].fn(spark, sf_dir).collect()
+    }
+    assert sh["en"]["n_test_docs"] == 3
+    assert sh["en"]["leaky_test_docs"] == 2  # exact copy + shingle-sharer
