@@ -241,11 +241,13 @@ def test_minhash_calibration_bounds_and_coherence(spark):
 def test_split_leakage_audits_detect_planted_leaks(spark, tmp_path):
     """Oracle parity proves Spark==DuckDB; this pins that the leakage
     audits detect what they claim. Planted corpus (ids pre-chosen so
-    the md5 split puts them where needed: 1,2,4 -> train; 44,49,65 ->
+    the md5 split puts them where needed: 1,2,4 -> train; 44,49,65,76 ->
     test): test doc 44 is an exact copy of train doc 1 (must show as
     BOTH dup leakage and shingle leakage), test doc 49 shares a 3-word
     shingle with train doc 2 but differs in its first 120 chars
-    (shingle leakage only), test doc 65 is disjoint (neither)."""
+    (shingle leakage only), test doc 65 is disjoint (neither), and test
+    doc 76 has <3 tokens — no shingles — but must still be COUNTED in
+    n_test_docs by BOTH audits (equal denominators; round-4 ADVICE)."""
     import os
 
     from webscrap_datapipeline_spark.plans import REGISTRY
@@ -258,6 +260,7 @@ def test_split_leakage_audits_detect_planted_leaks(spark, tmp_path):
         (44, leak_text, "en", "web"),  # exact copy of doc 1
         (49, "xx " * 50 + "two three four nine ten", "en", "web"),
         (65, "unrelated held out evaluation sentence words", "en", "web"),
+        (76, "tiny doc", "en", "web"),  # <3 tokens: zero shingles
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
     df = df.withColumn("n_chars", F.length("text"))
@@ -268,12 +271,12 @@ def test_split_leakage_audits_detect_planted_leaks(spark, tmp_path):
         r["lang"]: r
         for r in REGISTRY["dup_leakage_across_split"].fn(spark, sf_dir).collect()
     }
-    assert dup["en"]["n_test_docs"] == 3
+    assert dup["en"]["n_test_docs"] == 4
     assert dup["en"]["dup_leaked_docs"] == 1  # only the exact copy
 
     sh = {
         r["lang"]: r
         for r in REGISTRY["split_leakage_audit"].fn(spark, sf_dir).collect()
     }
-    assert sh["en"]["n_test_docs"] == 3
+    assert sh["en"]["n_test_docs"] == 4  # shingle-less doc 76 still counted
     assert sh["en"]["leaky_test_docs"] == 2  # exact copy + shingle-sharer

@@ -1268,18 +1268,26 @@ _DOC_HASH = """CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
     oracle=f"""
     WITH d AS (
       SELECT doc_id, lang, text, {_DOC_HASH} AS hh FROM documents
+    ), sd AS (
+      SELECT doc_id, lang, text, {_SPLIT_CASE} AS split FROM d
     ), s AS (
-      SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+      SELECT doc_id, split,
              {_SHINGLES.format(t=_TOKENS.format(c="text"))} AS shingle
-      FROM d
+      FROM sd
     ), tr AS (
       SELECT DISTINCT shingle FROM s WHERE split = 'train'
-    ), te AS (
-      SELECT doc_id, lang, shingle FROM s WHERE split = 'test'
+    ), hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_sh, COUNT(tr.shingle) AS n_hit
+      FROM s LEFT JOIN tr USING (shingle)
+      WHERE s.split = 'test'
+      GROUP BY 1
     ), per_doc AS (
-      SELECT te.doc_id, te.lang, COUNT(*) AS n_sh, COUNT(tr.shingle) AS n_hit
-      FROM te LEFT JOIN tr USING (shingle)
-      GROUP BY 1, 2
+      -- shingle-less test docs (<3 tokens) are RETAINED with n_sh = 0 so
+      -- n_test_docs counts the same denominator as dup_leakage_across_split
+      SELECT sd.doc_id, sd.lang,
+             COALESCE(h.n_sh, 0) AS n_sh, COALESCE(h.n_hit, 0) AS n_hit
+      FROM sd LEFT JOIN hits h USING (doc_id)
+      WHERE sd.split = 'test'
     )
     SELECT lang, COUNT(*) AS n_test_docs,
            CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1300,8 +1308,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode per doc (set semantics), the train side reduced to a
     DISTINCT shingle relation, one equi-join keyed on the shingle — the
     Jaccard posting-list discipline, linear in corpus shingle mass,
-    never doc×doc. Test docs with <3 tokens have no shingles and drop
-    out identically on both engines."""
+    never doc×doc. Test docs with <3 tokens have no shingles but are
+    RETAINED with n_sh = 0 (explode_outer), so n_test_docs counts the
+    same denominator as dup_leakage_across_split (round-4 ADVICE)."""
     docs = load_table(spark, "documents", sf_dir)
     hh = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
         "bigint"
@@ -1311,18 +1320,22 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         split.alias("split"),
-        F.explode(TX.word_shingles("text", 3)).alias("shingle"),
+        F.explode_outer(TX.word_shingles("text", 3)).alias("shingle"),
     )
     train_sh = (
-        base.filter(F.col("split") == "train").select("shingle").distinct()
+        base.filter((F.col("split") == "train") & F.col("shingle").isNotNull())
+        .select("shingle")
+        .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    # NULL shingle rows (shingle-less docs) never match the left join and
+    # are excluded from n_sh by count("shingle") — the doc survives with 0.
     per_doc = (
         base.filter(F.col("split") == "test")
         .join(train_sh, "shingle", "left")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_sh"),
+            F.count("shingle").alias("n_sh"),
             F.count("__hit").alias("n_hit"),
         )
     )
