@@ -294,7 +294,6 @@ def test_driver_window_is_least_recently_verified_rotation():
     VERDICT item 1): plan-changed pins first, then oracled queries with
     no green driver row, then hash-verified queries OLDEST green row
     first. Uses the committed CORRECTNESS_r*.json history."""
-    import webscrap_datapipeline_spark.plans.registry as reg
     from webscrap_datapipeline_spark.plans.registry import (
         _DEFER_TO_ROUND,
         _PINNED_FIRST,
@@ -303,7 +302,7 @@ def test_driver_window_is_least_recently_verified_rotation():
         REGISTRY,
     )
 
-    last_green, seen = _driver_history()
+    last_green, seen, latest_round = _driver_history()
     names = _ordered_names()
     assert sorted(names) == sorted(REGISTRY)  # a permutation, nothing lost
 
@@ -311,7 +310,7 @@ def test_driver_window_is_least_recently_verified_rotation():
     # round's CORRECTNESS file exists, never displacing the allocated
     # re-verification budget
     deferred = {
-        n for n, rnd in _DEFER_TO_ROUND.items() if reg._LATEST_ROUND < rnd - 1
+        n for n, rnd in _DEFER_TO_ROUND.items() if latest_round < rnd - 1
     }
     assert set(names[len(names) - len(deferred):]) == deferred
 

@@ -69,13 +69,16 @@ _MODULE_RANK = {
 }
 
 
-def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
-    """({name: last round with a green hash row}, driver-seen names),
+def _driver_history() -> tuple[dict[str, int], frozenset[str], int]:
+    """({name: last round with a green hash row}, driver-seen names,
+    latest round with a committed CORRECTNESS file — 0 when none),
     derived from the committed CORRECTNESS_r*.json files rather than a
     hand-maintained list (round-2 ADVICE: a hard-coded frozenset
     silently drifts from the actual driver record). Missing/corrupt
     files degrade to empty — every query then competes for a window
-    slot, which is the safe direction."""
+    slot, which is the safe direction. The latest round is a tuple
+    element, not a module global (round-4 ADVICE: a global set as a
+    side effect reads stale-0 for callers that never invoked this)."""
     import json
     import os
     import re
@@ -83,14 +86,13 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last_green: dict[str, int] = {}
     seen: set[str] = set()
-    global _LATEST_ROUND
-    _LATEST_ROUND = 0
+    latest_round = 0
     for fname in sorted(os.listdir(repo_root)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
         if not m:
             continue
         rnd = int(m.group(1))
-        _LATEST_ROUND = max(_LATEST_ROUND, rnd)
+        latest_round = max(latest_round, rnd)
         try:
             with open(os.path.join(repo_root, fname)) as f:
                 rows = json.load(f)
@@ -102,12 +104,7 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
             seen.add(name)
             if isinstance(row, dict) and row.get("hash_match") is True:
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    return last_green, frozenset(seen)
-
-
-# Most recent round with a committed CORRECTNESS file (set as a side
-# effect of _driver_history; 0 when none exist).
-_LATEST_ROUND = 0
+    return last_green, frozenset(seen), latest_round
 
 # Queries added MID-round, after the current window's 50-slot budget was
 # already allocated (e.g. round 4's budget is the ≥45 stalest rows —
@@ -137,12 +134,12 @@ _PINNED_FIRST: dict[str, int] = {
 
 
 def _ordered_names() -> list[str]:
-    last_green, seen = _driver_history()
+    last_green, seen, latest_round = _driver_history()
 
     def rank(name: str) -> tuple[int, int, int]:
         q = REGISTRY[name]
         mod = q.fn.__module__.rsplit(".", 1)[-1]
-        if name in _DEFER_TO_ROUND and _LATEST_ROUND < _DEFER_TO_ROUND[name] - 1:
+        if name in _DEFER_TO_ROUND and latest_round < _DEFER_TO_ROUND[name] - 1:
             bucket = 9  # mid-round addition: yields this window entirely
         elif name in _PINNED_FIRST and last_green.get(name, 0) < _PINNED_FIRST[name]:
             bucket = 0  # plan/oracle changed this round — re-verify first
