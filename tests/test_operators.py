@@ -1008,6 +1008,57 @@ def test_assign_contiguous_ids_multi_column_desc_rank(spark):
     assert got == {2: 0, 5: 1, 1: 2, 3: 3, 6: 4, 4: 5}
 
 
+def test_assign_contiguous_ids_reliable_checkpoint_path(spark, tmp_path):
+    """Round-4 VERDICT item 4: reliable=True routes the boundary freeze
+    through a replicated df.checkpoint() (executor-loss recoverable)
+    instead of localCheckpoint, and ids are identical on both paths.
+    Without a checkpoint dir the switch must fail loud, naming the fix."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.createDataFrame([(k,) for k in [42, 7, 99, 1, 13, 8, 56]], ["k"])
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            assign_contiguous_ids(df, "k", num_partitions=3, reliable=True).collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    local = {
+        r["k"]: r["row_id"]
+        for r in assign_contiguous_ids(df, "k", num_partitions=3).collect()
+    }
+    reliable = {
+        r["k"]: r["row_id"]
+        for r in assign_contiguous_ids(
+            df, "k", num_partitions=3, reliable=True
+        ).collect()
+    }
+    assert reliable == local == {1: 0, 7: 1, 8: 2, 13: 3, 42: 4, 56: 5, 99: 6}
+
+
+def test_assign_contiguous_ids_order_col_forms(spark):
+    """_as_order_cols accepts a name, a lone Column, or a sequence; a
+    bare Column must not die in list() with PySpark's opaque 'Column is
+    not iterable' (round-4 ADVICE), and a wrong type raises a TypeError
+    naming the accepted forms."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webscrap_datapipeline_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["k"])
+    lone = {
+        r["k"]: r["row_id"]
+        for r in assign_contiguous_ids(
+            df, F.col("k").desc(), num_partitions=2
+        ).collect()
+    }
+    assert lone == {3: 0, 2: 1, 1: 2}
+    with pytest.raises(TypeError, match="column name"):
+        assign_contiguous_ids(df, 42, num_partitions=2)
+
+
 def test_int8_quantization_error_bound_and_roundtrip(spark):
     import math
 

@@ -31,10 +31,12 @@ lineage into executor-local, non-replicated blocks — after it, losing
 an executor fails the job rather than recomputing, and the full input
 is materialized in executor memory/disk. That is the deliberate trade
 for boundary determinism on a long-lived cluster job; jobs that need
-loss-recoverability should pass the input through a *reliable*
-checkpoint (``spark.sparkContext.setCheckpointDir`` +
-``df.checkpoint()``) first, at the cost of an HDFS round-trip. Same
-pattern SCALE.md documents for the iterative-loop operators.
+loss-recoverability pass ``reliable=True``, which freezes the
+boundaries through a *reliable* ``df.checkpoint()`` instead
+(``spark.sparkContext.setCheckpointDir`` required), at the cost of a
+distributed-FS round-trip. Ids are identical on both paths — the unit
+test pins that. Same pattern SCALE.md documents for the
+iterative-loop operators.
 
 ``monotonically_increasing_id`` remains the zero-shuffle alternative
 when ids only need uniqueness + per-partition monotonicity, not
@@ -51,14 +53,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _as_order_cols(order: str | Sequence[Column]) -> list[Column]:
+def _as_order_cols(order: str | Column | Sequence[Column]) -> list[Column]:
     if isinstance(order, str):
         return [F.col(order).asc()]
+    if isinstance(order, Column):  # a lone Column is not iterable (round-4 ADVICE)
+        return [order]
+    if not isinstance(order, Sequence):
+        raise TypeError(
+            "order_col must be a column name (str), a Column, or a sequence of "
+            f"Columns; got {type(order).__name__}"
+        )
     return list(order)
 
 
 def _ranged_with_offsets(
-    df: DataFrame, order_cols: list[Column], n: int, weight_col: str | None
+    df: DataFrame,
+    order_cols: list[Column],
+    n: int,
+    weight_col: str | None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, Column]:
     """Shared two-pass core: range-repartition on ``order_cols``,
     freeze the boundaries, and return (ranged df with ``__pid``, the
@@ -73,13 +86,28 @@ def _ranged_with_offsets(
     offsets disagree with the actual partition sizes and ids come out
     with gaps/collisions. Reproduced at sf0.1 (round 3); the smaller
     SFs sample every row, which made the boundaries accidentally
-    deterministic and hid the bug. (Reliability trade documented in
-    the module docstring.)"""
-    ranged = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    deterministic and hid the bug.
+
+    ``reliable=True`` freezes via a *reliable* ``df.checkpoint()``
+    (replicated to the configured checkpoint dir — survives executor
+    loss, costs a distributed-FS round-trip) instead of the default
+    executor-local ``localCheckpoint`` (round-4 VERDICT item 4: the
+    fault-tolerance trade becomes a switch, not a caveat). Both freeze
+    the sampled boundaries identically, so ids are bit-identical on
+    either path."""
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first"
+            )
+        ranged = ranged.checkpoint(eager=True)
+    else:
+        ranged = ranged.localCheckpoint(eager=True)
     agg = (
         F.count(F.lit(1)).alias("w")
         if weight_col is None
@@ -102,19 +130,25 @@ def _ranged_with_offsets(
 
 def assign_contiguous_ids(
     df: DataFrame,
-    order_col: str | Sequence[Column],
+    order_col: str | Column | Sequence[Column],
     id_name: str = "row_id",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Add ``id_name``: the 0-based rank of each row in the total order
-    of ``order_col`` — a column name (ascending) or an explicit list of
-    ordering Columns (e.g. ``[F.col("n").desc(), F.col("k").asc()]``
-    for a global rank without a global sort). The combined order key
-    must be unique — ties would make the rank assignment of equal keys
-    arbitrary. Two-pass, no global window."""
+    of ``order_col`` — a column name (ascending), a single Column, or an
+    explicit list of ordering Columns (e.g. ``[F.col("n").desc(),
+    F.col("k").asc()]`` for a global rank without a global sort). The
+    combined order key must be unique — ties would make the rank
+    assignment of equal keys arbitrary. Two-pass, no global window.
+    ``reliable=True`` uses a replicated checkpoint to freeze the range
+    boundaries (executor-loss recoverable; needs ``setCheckpointDir``);
+    ids are identical on both paths."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order_cols = _as_order_cols(order_col)
-    ranged, offset_expr = _ranged_with_offsets(df, order_cols, n, weight_col=None)
+    ranged, offset_expr = _ranged_with_offsets(
+        df, order_cols, n, weight_col=None, reliable=reliable
+    )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     return ranged.withColumn(
         id_name, (F.row_number().over(w) - 1 + offset_expr).cast("bigint")
