@@ -54,8 +54,14 @@ def main() -> None:
         print(f"{name}: {'ok' if ok else 'NONDETERMINISTIC'} ({len(a)} rows)", flush=True)
         if not ok:
             fails.append(name)
-            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            print(f"  first diffs: {diffs}", flush=True)
+            # Set difference, not positional zip: a row-count mismatch (the
+            # likeliest nondeterminism symptom) leaves zip empty/misaligned
+            # (round-4 ADVICE). Rows are sorted tuples, so sets are exact.
+            print(f"  row counts: run1={len(a)} run2={len(b)}", flush=True)
+            only_a = sorted(set(a) - set(b))[:3]
+            only_b = sorted(set(b) - set(a))[:3]
+            print(f"  only in run1: {only_a}", flush=True)
+            print(f"  only in run2: {only_b}", flush=True)
     spark.stop()
     print(f"== determinism audit: {len(names) - len(fails)}/{len(names)} stable; FAILS={fails}")
     sys.exit(1 if fails else 0)

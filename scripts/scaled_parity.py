@@ -88,11 +88,25 @@ def main() -> None:
 
     spark = get_spark(app_name="scaled-parity")
     spark.sparkContext.setLogLevel("ERROR")
+    # Build into a temp dir and rename atomically on success, gated by a
+    # sentinel file (round-4 ADVICE: an interrupted build must not be
+    # silently reused as a complete corpus, and cleanup must only touch
+    # directories THIS run created — never a pre-existing --keep corpus).
     corpus = os.path.join(args.out, f"x{args.factor}")
-    if not os.path.isdir(corpus):
-        os.makedirs(corpus, exist_ok=True)
-        build_corpus(spark, args.factor, corpus)
-        build_tpch(spark, args.factor, corpus)
+    sentinel = os.path.join(corpus, "_CORPUS_COMPLETE")
+    created_corpus = False
+    if not os.path.isfile(sentinel):
+        if os.path.isdir(corpus):  # leftover from an interrupted build
+            shutil.rmtree(corpus)
+        tmp = corpus + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        build_corpus(spark, args.factor, tmp)
+        build_tpch(spark, args.factor, tmp)
+        with open(os.path.join(tmp, "_CORPUS_COMPLETE"), "w"):
+            pass
+        os.rename(tmp, corpus)
+        created_corpus = True
     con = duckdb_con(corpus)
 
     names = (
@@ -121,8 +135,8 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row), flush=True)
     spark.stop()
-    if not args.keep:
-        shutil.rmtree(args.out, ignore_errors=True)
+    if not args.keep and created_corpus:
+        shutil.rmtree(corpus, ignore_errors=True)
     n_oracled = sum(1 for r in results if "ok" in r)
     print(f"== scaled parity x{args.factor}: {n_oracled - len(fails)}/{n_oracled} "
           f"oracled green, {len(results) - n_oracled} rows-only ran; FAILS={fails}")
