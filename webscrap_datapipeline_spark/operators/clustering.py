@@ -107,6 +107,95 @@ def lloyd_update(
     )
 
 
+_FAST_SCALE = 10**8
+
+
+def _fused_step_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    num_partitions: int | None = None,
+) -> dict[int, tuple[int, list[float]]]:
+    """One whole Lloyd iteration (ASSIGN + UPDATE) as a SINGLE Arrow
+    pass — the training-loop fast path (round-4 VERDICT item 3). Per
+    Arrow batch: one numpy distance matrix → argmin assignment → per-
+    cluster member counts and per-dim sums. Partial sums leave Python as
+    1e8-SCALED int64s (truncation toward zero, numpy and Spark agree) —
+    exact integer arithmetic end-to-end, so the means are partition- and
+    merge-order-INDEPENDENT: the run-twice-determinism property the
+    decimal detour bought, without BigDecimal adds (decimal(20,8)
+    exceeds the long-backed 18-digit precision, so every exact-path add
+    allocates) and without the per-iteration posexplode of n × dim rows.
+    Each executor emits ≤ k × dim partial rows per partition; the only
+    shuffle is the k-bounded merge, and k × dim rows reach the driver.
+    ``lloyd_update`` stays the decimal-exact oracle-replayable relation
+    for kmeans_one_step_seeded. Returns {cluster: (n, mean_vector)}."""
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+
+    def step(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            seen = True
+            # explicit (x-c)² — the expanded form is faster but loses
+            # ulps that can flip argmin on near-ties; determinism wins.
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d2, axis=1)
+            Xs = (X * _FAST_SCALE).astype(np.int64)
+            np.add.at(counts, a, 1)
+            for c in np.unique(a):
+                sums[c] += Xs[a == c].sum(axis=0)
+        if seen:
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, dim).astype("int32"),
+                    "dim": np.tile(np.arange(1, dim + 1, dtype="int32"), len(nz)),
+                    "n": np.repeat(counts[nz], dim),
+                    "s": sums[nz].reshape(-1),
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        step, "cluster int, dim int, n bigint, s bigint"
+    )
+    # Merge path is a driver-size decision: with few input partitions the
+    # partial rows (≤ P × k × dim) are driver-sized, so collecting them
+    # and merging in numpy saves one shuffle stage per iteration; past
+    # the guard the k-bounded distributed merge takes over (its shuffle
+    # input is the same ≤ P × k × dim tiny rows). Integer adds both ways
+    # — the merged sums are bit-identical on either path. The caller may
+    # pass ``num_partitions`` to avoid re-deriving it (the DataFrame→RDD
+    # conversion re-plans the query — wasteful once per iteration).
+    if num_partitions is None:
+        num_partitions = df.rdd.getNumPartitions()
+    if num_partitions * k * dim <= 1_000_000:
+        rows = partials.collect()
+    else:
+        rows = (
+            partials.groupBy("cluster", "dim")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .collect()
+        )
+    counts = np.zeros(k, dtype=np.int64)
+    sums = np.zeros((k, dim), dtype=np.int64)
+    for r in rows:
+        c, d = r["cluster"], r["dim"] - 1
+        sums[c, d] += r["s"]
+        if d == 0:
+            counts[c] += r["n"]
+    return {
+        c: (int(counts[c]), list(sums[c] / _FAST_SCALE / counts[c]))
+        for c in range(k)
+        if counts[c] > 0
+    }
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -119,22 +208,16 @@ def kmeans_fit(
     ``cluster`` column). ``df`` is cached by the caller if it is
     expensive to recompute — each iteration scans it once.
     ``init_centroids`` overrides the default hash-scattered sample
-    (callers that already hold seeds, e.g. IVF refinement). The update
-    step is :func:`lloyd_update` (decimal-exact means → training is
-    independent of partitioning, and the step itself is oracle-checked
-    via kmeans_one_step_seeded)."""
+    (callers that already hold seeds, e.g. IVF refinement). Each
+    iteration is ONE fused Arrow pass (:func:`_fused_step_centroids` —
+    scaled-integer sums: exact, so training is independent of
+    partitioning, with no per-iteration explode job; the decimal-exact
+    :func:`lloyd_update` remains the oracle-checked relation via
+    kmeans_one_step_seeded)."""
     centroids = init_centroids or hash_sample_vectors(df, vec_col, id_col, k)
+    n_parts = df.rdd.getNumPartitions()
     for _ in range(iters):
-        assigned = _assign(df, vec_col, centroids)
-        new_rows = lloyd_update(assigned, vec_col).collect()
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in new_rows:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["new_m"]
+        new = _fused_step_centroids(df, vec_col, centroids, num_partitions=n_parts)
         # empty clusters keep their previous centroid (standard Lloyd's)
-        centroids = [
-            [by_cluster[c][d] for d in sorted(by_cluster[c])]
-            if c in by_cluster
-            else centroids[c]
-            for c in range(k)
-        ]
+        centroids = [new[c][1] if c in new else centroids[c] for c in range(k)]
     return centroids, _assign(df, vec_col, centroids)

@@ -350,19 +350,18 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label").cache()
     try:
         _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=6)
-        out = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n_members"),
-                F.countDistinct("label").alias("n_labels"),
-            )
-            .orderBy("cluster")
+        out = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("label").alias("n_labels"),
         )
         # Materialize the k-row result NOW, while emb is still cached —
         # returning the lazy plan and unpersisting in `finally` would
         # evict the cache before the caller's action runs, forcing the
-        # final aggregation back to a cold parquet scan.
-        return out.localCheckpoint(eager=True)
+        # final aggregation back to a cold parquet scan. k rows are
+        # driver-sized by construction, so collect + createDataFrame
+        # (sorted on the driver) beats an orderBy exchange + checkpoint.
+        rows = sorted(out.collect(), key=lambda r: r["cluster"])
+        return spark.createDataFrame(rows, out.schema)
     finally:
         emb.unpersist()
 
