@@ -690,6 +690,53 @@ def test_kmeans_objective_decreases_and_is_deterministic(spark):
         emb.unpersist()
 
 
+def test_kmeans_fused_step_matches_decimal_lloyd_relation(spark):
+    """The trained loop's fused Arrow pass (scaled-int64 sums) and the
+    oracle-replayable decimal relation (_assign + lloyd_update) are two
+    implementations of the SAME Lloyd iteration — pin them together:
+    identical member counts, means equal to the 1e8 quantization of the
+    scaled-int path (truncation toward zero), on both merge paths
+    (driver collect and decimal-cast distributed agg)."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.clustering import (
+        _FAST_SCALE,
+        _assign,
+        _fused_step_centroids,
+        hash_sample_vectors,
+        lloyd_update,
+    )
+
+    emb = (
+        load_table(spark, "embeddings", "/root/testdata/sf0.01")
+        .select("vec_id", "embedding")
+        .limit(300)
+        .cache()
+    )
+    try:
+        C = hash_sample_vectors(emb, "embedding", "vec_id", 5)
+        exact = {}
+        for r in lloyd_update(_assign(emb, "embedding", C), "embedding").collect():
+            n, sums = exact.setdefault(r["cluster"], [r["n"], {}])
+            exact[r["cluster"]][1][r["dim"]] = r["new_m"]
+        for forced_parts in (None, 0):
+            # forced_parts=0 forces the "distributed merge" branch
+            # (0 * k * dim > threshold is False — so pass a huge count)
+            fused = _fused_step_centroids(
+                emb, "embedding", C,
+                num_partitions=None if forced_parts is None else 10**9,
+            )
+            assert set(fused) == set(exact)
+            for c, (n, mean) in fused.items():
+                assert n == exact[c][0]
+                for d, m in enumerate(mean, start=1):
+                    # fused means are exact integer sums of trunc(x*1e8);
+                    # decimal means are exact sums of x — they agree to
+                    # the quantization bound (n members, /1e8 each, /n)
+                    assert abs(m - exact[c][1][d]) <= 1.0 / _FAST_SCALE
+    finally:
+        emb.unpersist()
+
+
 def test_merge_agg_state_equals_full_recompute(spark):
     from webscrap_datapipeline_spark.operators.incremental import merge_agg_state
 

@@ -177,20 +177,30 @@ def _fused_step_centroids(
     if num_partitions * k * dim <= 1_000_000:
         rows = partials.collect()
     else:
+        # decimal(38,0) merge, NOT bigint: per-PARTITION partials can't
+        # overflow (maxPartitionBytes bounds rows per partition), but a
+        # global per-cluster scaled sum crosses int64 at ~9e10 members
+        # × |x|≈1 — reachable on a 100 TB embedding corpus.
         rows = (
             partials.groupBy("cluster", "dim")
-            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+            )
             .collect()
         )
-    counts = np.zeros(k, dtype=np.int64)
-    sums = np.zeros((k, dim), dtype=np.int64)
+    # Python-int accumulation on the driver for the same reason — numpy
+    # int64 would silently wrap where arbitrary precision is free at
+    # ≤ P × k × dim rows.
+    counts = [0] * k
+    sums = [[0] * dim for _ in range(k)]
     for r in rows:
         c, d = r["cluster"], r["dim"] - 1
-        sums[c, d] += r["s"]
+        sums[c][d] += int(r["s"])
         if d == 0:
-            counts[c] += r["n"]
+            counts[c] += int(r["n"])
     return {
-        c: (int(counts[c]), list(sums[c] / _FAST_SCALE / counts[c]))
+        c: (counts[c], [s / _FAST_SCALE / counts[c] for s in sums[c]])
         for c in range(k)
         if counts[c] > 0
     }
