@@ -130,6 +130,9 @@ _PINNED_FIRST: dict[str, int] = {
     "token_budget_take_stats": 4,
     # round 4: rank-free rewrite (two-pass range-partition rank)
     "user_activity_concentration": 4,
+    # round 5: trigram cut moved from interpreted HOF lambda to
+    # codegen'd post-explode substring (plan changed, oracle unchanged)
+    "char_trigram_profile": 5,
 }
 
 
