@@ -1083,6 +1083,19 @@ def test_assign_contiguous_ids_reliable_checkpoint_path(spark, tmp_path):
     }
     assert reliable == local == {1: 0, 7: 1, 8: 2, 13: 3, 42: 4, 56: 5, 99: 6}
 
+    # the shared two-pass core serves budgeted_take too — same identical-
+    # result guarantee on the reliable path (prefix 1,7,8,13 sums to 29)
+    from webscrap_datapipeline_spark.operators.ids import budgeted_take
+
+    wdf = df.withColumn("w", F.col("k"))
+    kept = {
+        frozenset(r["k"] for r in budgeted_take(
+            wdf, ["k"], "w", budget=29, num_partitions=3, reliable=rel
+        ).collect())
+        for rel in (False, True)
+    }
+    assert kept == {frozenset({1, 7, 8, 13})}
+
 
 def test_assign_contiguous_ids_order_col_forms(spark):
     """_as_order_cols accepts a name, a lone Column, or a sequence; a

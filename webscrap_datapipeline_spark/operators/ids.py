@@ -161,6 +161,7 @@ def budgeted_take(
     weight_col: str,
     budget: int,
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Keep the prefix of ``df`` in the total order of ``order_cols``
     whose running ``weight_col`` sum stays ≤ ``budget`` — "take the
@@ -176,10 +177,15 @@ def budgeted_take(
     cumulative sum + offset. The first row that would cross the budget
     is excluded (strict prefix ≤ budget). Weights must be non-negative;
     the order key must be unique (ties would make the crossing row
-    ambiguous)."""
+    ambiguous). ``reliable=True`` freezes the range boundaries through a
+    replicated ``df.checkpoint()`` exactly as in
+    :func:`assign_contiguous_ids`; the kept prefix is identical on both
+    paths."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order = [F.col(c).asc() for c in order_cols]
-    ranged, offset_expr = _ranged_with_offsets(df, order, n, weight_col=weight_col)
+    ranged, offset_expr = _ranged_with_offsets(
+        df, order, n, weight_col=weight_col, reliable=reliable
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order)
