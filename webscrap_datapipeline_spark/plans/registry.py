@@ -107,33 +107,23 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str], int]:
     return last_green, frozenset(seen), latest_round
 
 # Queries added MID-round, after the current window's 50-slot budget was
-# already allocated (e.g. round 4's budget is the ≥45 stalest rows —
-# VERDICT r3 item 1). A deferred query sorts LAST until the CORRECTNESS
+# already allocated. A deferred query sorts LAST until the CORRECTNESS
 # file of the round before its target exists, then it automatically
 # joins bucket 1 (oracled, never green) for the target round's window.
 # Local parity still covers it every pytest run in the meantime.
-_DEFER_TO_ROUND: dict[str, int] = {
-    # added mid-round-4 → first driver slot in round 5
-    "split_leakage_audit": 5,
-    "dup_leakage_across_split": 5,
-}
+# (Round-6 prune: the r4/r5 entries all landed green rows and retired —
+# VERDICT r5 "What's wrong" item 1. Empty ≠ dead: repopulate whenever a
+# query is added mid-round.)
+_DEFER_TO_ROUND: dict[str, int] = {}
 
 # Queries whose PLAN or ORACLE changed in the round named by the pin —
 # already verified in an earlier round, but the verified code is not the
 # committed code anymore, so a fresh driver row outranks re-greening
 # stale-but-unchanged queries. A pin retires once the driver records a
 # green row in a round >= its pin round (then it rejoins the normal
-# least-recently-verified rotation).
-_PINNED_FIRST: dict[str, int] = {
-    # round 4: ids.py offset-lookup rewrite (O(P) map scan → O(1) array)
-    "doc_global_row_ids": 4,
-    "token_budget_take_stats": 4,
-    # round 4: rank-free rewrite (two-pass range-partition rank)
-    "user_activity_concentration": 4,
-    # round 5: trigram cut moved from interpreted HOF lambda to
-    # codegen'd post-explode substring (plan changed, oracle unchanged)
-    "char_trigram_profile": 5,
-}
+# least-recently-verified rotation). Round-6 prune cleared the retired
+# r4/r5 pins; repopulate whenever a shipped plan/oracle changes.
+_PINNED_FIRST: dict[str, int] = {}
 
 
 def _ordered_names() -> list[str]:
