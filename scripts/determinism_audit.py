@@ -54,14 +54,19 @@ def main() -> None:
         print(f"{name}: {'ok' if ok else 'NONDETERMINISTIC'} ({len(a)} rows)", flush=True)
         if not ok:
             fails.append(name)
-            # Set difference, not positional zip: a row-count mismatch (the
-            # likeliest nondeterminism symptom) leaves zip empty/misaligned
-            # (round-4 ADVICE). Rows are sorted tuples, so sets are exact.
+            # Counter difference, not set difference: set() loses
+            # multiplicity, so duplicate-row nondeterminism (same distinct
+            # rows, different counts) printed EMPTY diffs (round-5 ADVICE).
+            # Sort key is repr — mismatched rows can hold None, and
+            # None < str raises TypeError mid-report.
+            import collections
+
             print(f"  row counts: run1={len(a)} run2={len(b)}", flush=True)
-            only_a = sorted(set(a) - set(b))[:3]
-            only_b = sorted(set(b) - set(a))[:3]
-            print(f"  only in run1: {only_a}", flush=True)
-            print(f"  only in run2: {only_b}", flush=True)
+            ca, cb = collections.Counter(a), collections.Counter(b)
+            only_a = sorted((ca - cb).elements(), key=repr)[:3]
+            only_b = sorted((cb - ca).elements(), key=repr)[:3]
+            print(f"  only in run1 (with multiplicity): {only_a}", flush=True)
+            print(f"  only in run2 (with multiplicity): {only_b}", flush=True)
     spark.stop()
     print(f"== determinism audit: {len(names) - len(fails)}/{len(names)} stable; FAILS={fails}")
     sys.exit(1 if fails else 0)

@@ -36,6 +36,7 @@ summary; exit code 1 on any mismatch.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -95,6 +96,23 @@ def main() -> None:
     corpus = os.path.join(args.out, f"x{args.factor}")
     sentinel = os.path.join(corpus, "_CORPUS_COMPLETE")
     created_corpus = False
+    if os.path.isdir(corpus) and not os.path.isfile(sentinel):
+        # A corpus built by a PRE-sentinel version of this script and
+        # kept with --keep has every table but no sentinel — deleting it
+        # here is exactly the behavior the sentinel was added to prevent
+        # (round-5 ADVICE). Adopt it if structurally complete (all ten
+        # table dirs present, each with at least one parquet part);
+        # otherwise it really is an interrupted build.
+        expected = DIM_TABLES + ("orders", "lineitem", "documents", "embeddings", "events")
+        if all(
+            glob.glob(os.path.join(corpus, f"{t}.parquet", "*.parquet"))
+            for t in expected
+        ):
+            print(f"adopting legacy sentinel-less corpus at {corpus}", flush=True)
+            with open(sentinel, "w"):
+                pass
+        else:
+            print(f"discarding INCOMPLETE corpus at {corpus} (no sentinel)", flush=True)
     if not os.path.isfile(sentinel):
         if os.path.isdir(corpus):  # leftover from an interrupted build
             shutil.rmtree(corpus)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from webscrap_datapipeline_spark.functions.scalars import (
@@ -735,6 +736,31 @@ def test_kmeans_fused_step_matches_decimal_lloyd_relation(spark):
                     assert abs(m - exact[c][1][d]) <= 1.0 / _FAST_SCALE
     finally:
         emb.unpersist()
+
+
+def test_kmeans_fused_step_overflow_guard_raises_not_wraps(spark):
+    """numpy int64 wraparound is silent — the fused pass must RAISE when
+    the scaled partial sums could leave the int64 envelope (round-5
+    ADVICE: |x| ≳ 9.2e10 wraps in the astype; unnormalized |x| shrinks
+    the accumulation headroom proportionally), and reject non-finite
+    inputs instead of folding garbage into the centroids."""
+    from pyspark.errors import PythonException
+
+    from webscrap_datapipeline_spark.operators.clustering import _fused_step_centroids
+
+    big = spark.createDataFrame(
+        [(i, [1.0e11, 0.0]) for i in range(4)], "vec_id int, embedding array<double>"
+    ).coalesce(1)
+    with pytest.raises(PythonException, match="int64 envelope"):
+        _fused_step_centroids(big, "embedding", [[0.0, 0.0], [1.0, 1.0]])
+    nan = spark.createDataFrame(
+        [(0, [float("nan"), 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(PythonException, match="non-finite"):
+        _fused_step_centroids(nan, "embedding", [[0.0, 0.0], [1.0, 1.0]])
+    # headroom arithmetic, driver-side (no Spark round-trip): 4 rows at
+    # |x|=1e11 scaled by 1e8 → bound 4e19 ≥ 2^62 → must trip
+    assert 4 * (int(1.0e11 * 1e8) + 1) >= 2**62
 
 
 def test_merge_agg_state_equals_full_recompute(spark):

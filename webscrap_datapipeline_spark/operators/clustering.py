@@ -137,11 +137,31 @@ def _fused_step_centroids(
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.int64)
         seen = False
+        # Conservative Python-int ceiling on any |sums| cell: numpy int64
+        # wraps SILENTLY, so the exactness guarantee needs an explicit
+        # guard (round-5 ADVICE). Covers both the scaled cast (|x| ≳
+        # 9.2e10 wraps in astype) and the per-partition accumulation
+        # (unnormalized |x|~1e4 shrinks headroom 1e4×; a cached or
+        # repartitioned input is NOT bounded by maxPartitionBytes).
+        acc_bound = 0
         for pdf in batches:
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             if X.size == 0:
                 continue
             seen = True
+            m = float(np.abs(X).max())
+            if not np.isfinite(m):
+                raise ValueError(
+                    f"non-finite value in {vec_col!r}: fused k-means needs finite embeddings"
+                )
+            acc_bound += len(X) * (int(m * _FAST_SCALE) + 1)
+            if acc_bound >= 2**62:
+                raise OverflowError(
+                    f"fused k-means scaled-int64 partial sums could exceed the int64 "
+                    f"envelope on this partition (max|x|={m:.3g}, worst-case cell "
+                    f"bound {acc_bound:.3g}): normalize the embeddings, repartition "
+                    f"to smaller partitions, or use the decimal-exact lloyd_update path"
+                )
             # explicit (x-c)² — the expanded form is faster but loses
             # ulps that can flip argmin on near-ties; determinism wins.
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
