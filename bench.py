@@ -60,15 +60,45 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver's BENCH_r{N}.json capture can truncate long stdout lines
-    # (round 1 lost the first ~44 queries' timings) — persist the full
-    # machine-readable record next to the repo so round-over-round
-    # regression checks (BASELINE.md's 2× rule) stay computable.
+    # The driver's BENCH_r{N}.json capture keeps only a ~2000-char TAIL of
+    # stdout: a full 146-query line is ~4.5k chars, so every round's
+    # snapshot recorded "parsed": null (VERDICT r5 item 6). Persist the
+    # full machine-readable record next to the repo (the reference record
+    # for round-over-round regression checks / BASELINE.md's 2× rule) …
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(json.dumps(payload))
+    # … and print a line the tail can actually hold: summary + as many of
+    # the SLOWEST per-query timings as fit under the truncation budget
+    # (the slow tail is what regression-watching needs first), 3-decimal
+    # rounding, no whitespace, printed LAST so nothing lands after it.
+    budget = 1900
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    line_payload = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {},
+        "queries_truncated": "",
+        "sf": payload["sf"],
+    }
+    kept = 0
+    for name, sec in slowest:
+        line_payload["queries"][name] = round(sec, 3)
+        kept += 1
+        line_payload["queries_truncated"] = (
+            f"slowest {kept} of {len(timings)}; full record in bench_full.json"
+        )
+        if len(json.dumps(line_payload, separators=(",", ":"))) > budget:
+            del line_payload["queries"][name]
+            kept -= 1
+            line_payload["queries_truncated"] = (
+                f"slowest {kept} of {len(timings)}; full record in bench_full.json"
+            )
+            break
     spark.stop()
+    print(json.dumps(line_payload, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
