@@ -1,0 +1,119 @@
+"""Memory-pressure probe — the one unmeasured scale dimension
+(VERDICT r5 item 3): every ×64 parity proof ran inside a 128 GiB
+sandbox that never forces a spill, so "survives 100×" rested on plan
+shape alone. This script runs ONE registered query against a scaled
+corpus under a deliberately tight JVM heap and reports whether the
+engine completed by SPILLING (the behavior a 100 TB cluster relies on)
+rather than OOMing.
+
+Heap sizing must happen before the JVM launches, so the driver memory
+comes from the session factory's ``SPARK_GRAFT_DRIVER_MEM`` env var —
+run as:
+
+    SPARK_GRAFT_DRIVER_MEM=4g python scripts/spill_probe.py \
+        --query near_dup_jaccard_topk --corpus /tmp/scaled_parity/x64
+
+Spill metrics come from the event log (``spark.ui`` is disabled in the
+session factory, so the REST API is unavailable): every
+SparkListenerTaskEnd carries Memory/Disk Bytes Spilled and Peak
+Execution Memory in its Task Metrics. One query per process keeps the
+log's totals attributable. Prints one JSON line; results land in
+SCALE.md's "memory-pressure ×64" table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
+from webscrap_datapipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--corpus", default="/tmp/scaled_parity/x64")
+    ap.add_argument("--eventlog-dir", default="/tmp/spill_eventlog")
+    args = ap.parse_args()
+
+    os.makedirs(args.eventlog_dir, exist_ok=True)
+    spark = get_spark(
+        app_name=f"spill-probe-{args.query}",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": "file:" + args.eventlog_dir,
+            # Spark 4 compresses event logs (zstd) by default; plain
+            # JSON keeps the parse below dependency-free.
+            "spark.eventLog.compress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    heap = spark.sparkContext.getConf().get("spark.driver.memory")
+    t0 = time.monotonic()
+    df = REGISTRY[args.query].fn(spark, args.corpus)
+    rows = df.count()
+    sec = round(time.monotonic() - t0, 1)
+    spark.stop()
+
+    mem_spilled = disk_spilled = shuffle_write = 0
+    peak_exec = 0
+    tasks = 0
+    # Spark 4 defaults to the rolling v2 layout: a directory
+    # eventlog_v2_<appId> holding events_* part files (a flat file named
+    # <appId> is the legacy single-file layout).
+    flat = os.path.join(args.eventlog_dir, app_id)
+    v2_dir = os.path.join(args.eventlog_dir, f"eventlog_v2_{app_id}")
+    if os.path.isfile(flat):
+        log_files = [flat]
+    else:
+        log_files = sorted(
+            os.path.join(v2_dir, f)
+            for f in os.listdir(v2_dir)
+            if f.startswith("events")
+        )
+    for log_path in log_files:
+      with open(log_path) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("Event") != "SparkListenerTaskEnd":
+                continue
+            tm = ev.get("Task Metrics") or {}
+            tasks += 1
+            mem_spilled += tm.get("Memory Bytes Spilled", 0)
+            disk_spilled += tm.get("Disk Bytes Spilled", 0)
+            peak_exec = max(peak_exec, tm.get("Peak Execution Memory", 0))
+            shuffle_write += (tm.get("Shuffle Write Metrics") or {}).get(
+                "Shuffle Bytes Written", 0
+            )
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "corpus": args.corpus,
+                "driver_memory": heap,
+                "sec": sec,
+                "rows": rows,
+                "tasks": tasks,
+                "memory_bytes_spilled": mem_spilled,
+                "disk_bytes_spilled": disk_spilled,
+                "max_task_peak_execution_memory": peak_exec,
+                "shuffle_bytes_written": shuffle_write,
+                "oom": False,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
