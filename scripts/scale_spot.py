@@ -78,6 +78,26 @@ def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
         rotated = F.concat(
             F.slice("embedding", rot + 1, 64 - rot), F.slice("embedding", 1, rot)
         )
+        if k >= 64:
+            # Rotation classes repeat every dim=64 copies: copy k and
+            # k+64 would be IDENTICAL vectors, so past ×64 the TRUE
+            # near-dup workload grows quadratically by construction
+            # (measured: ×142 LSH pair rows at ×256, round 6) and the
+            # measurement can no longer separate engine cost from
+            # output growth. A deterministic per-copy-group sign
+            # pattern restores the linearity guarantee: the SAME
+            # pattern on both sides of a dot product cancels
+            # (Σ sᵢ² xᵢ yᵢ = x·y), so every within-copy distance — the
+            # sf0.1 dup structure — is preserved bit-exactly, while
+            # cross-group pairs decorrelate (E[Σ sᵢ s'ᵢ xᵢ²] = 0).
+            g = k // 64
+            rotated = F.transform(
+                rotated,
+                lambda x, i: x
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(g), i), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            )
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + off).alias("vec_id"),
@@ -115,6 +135,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--out", default="/tmp/scale_spot")
+    ap.add_argument(
+        "--keep",
+        action="store_true",
+        help="keep corpora; a kept corpus (sentinel-stamped) is reused on "
+        "the next run — lets A/B conf runs share one ×256 build",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -124,7 +150,12 @@ def main() -> None:
     results = []
     for factor in factors:
         corpus_dir = os.path.join(args.out, f"x{factor}")
-        build_corpus(spark, factor, corpus_dir)
+        sentinel = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
+        if not os.path.isfile(sentinel):
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+            build_corpus(spark, factor, corpus_dir)
+            with open(sentinel, "w"):
+                pass
         for name in QUERIES:
             fn = REGISTRY[name].fn
             if factor == factors[0]:
@@ -140,7 +171,8 @@ def main() -> None:
             results.append({"query": name, "factor": factor, "rows": n, "sec": sec})
             print(json.dumps(results[-1]), flush=True)
     spark.stop()
-    shutil.rmtree(args.out, ignore_errors=True)
+    if not args.keep:
+        shutil.rmtree(args.out, ignore_errors=True)
 
     by_q: dict[str, dict[int, float]] = {}
     for r in results:
