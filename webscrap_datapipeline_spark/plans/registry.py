@@ -123,7 +123,12 @@ _DEFER_TO_ROUND: dict[str, int] = {}
 # green row in a round >= its pin round (then it rejoins the normal
 # least-recently-verified rotation). Round-6 prune cleared the retired
 # r4/r5 pins; repopulate whenever a shipped plan/oracle changes.
-_PINNED_FIRST: dict[str, int] = {}
+_PINNED_FIRST: dict[str, int] = {
+    # round 6: plan changed — min/max split from the multi-distinct so
+    # the Expand side hash-aggregates (SortAggregate demotion removed,
+    # 3.8 → 1.7 s solo); needs a fresh driver row this round.
+    "profile_orders": 6,
+}
 
 
 def _ordered_names() -> list[str]:
