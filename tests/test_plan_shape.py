@@ -426,3 +426,23 @@ def test_activity_concentration_has_no_single_task_global_sort(spark):
     # executed plan: every Sort is partition-local (global=false)
     phys = plan_str(df)
     assert "Sort [" not in phys or "global=true" not in phys, phys[:3000]
+
+
+def test_profile_orders_distinct_expand_hash_aggregates(spark):
+    """Round-6 reclaim: min/max over STRING columns carry variable-length
+    aggregation buffers, which disqualify HashAggregate AND
+    ObjectHashAggregate — combined with a multi-countDistinct they demote
+    the whole aggregate, including the ×N_cols Expand, to SortAggregate
+    (a full sort of the expanded fact table; 3.8 s → 1.7 s solo at sf0.1
+    when split). profile_orders therefore computes string min/max in a
+    separate keyless aggregate; the Expand/distinct side must stay
+    HashAggregate, and any SortAggregate left in the plan must be
+    keyless (the per-partition-reduce min/max side, which needs no
+    sort)."""
+    df = REGISTRY["profile_orders"].fn(spark, SF_SMALL)
+    phys = plan_str(df, mode="simple")
+    assert "Expand" in phys  # the multi-distinct shape is still one scan
+    assert "HashAggregate" in phys
+    for line in phys.splitlines():
+        if "SortAggregate" in line:
+            assert "key=[]" in line, line
