@@ -297,6 +297,27 @@ def test_lsh_topk_finds_planted_near_dups(spark):
             assert abs(score - 1.0) < 1e-6
 
 
+def test_auto_planes_scales_bits_with_corpus():
+    """Fixed LSH plane counts go quadratic in candidate pairs as the
+    corpus grows (measured ×16 pairs for ×4 data at 12 planes, SCALE.md
+    round 6); auto_planes holds bucket occupancy — and the candidate
+    join — linear by adding log2-many bits."""
+    from webscrap_datapipeline_spark.operators.similarity import auto_planes
+
+    # the measured corpora: ×256 (512k) keeps 12 bits, ×1024 (2.05M)
+    # gets the two extra bits that restored near-linear candidates
+    assert auto_planes(512_000) == 12
+    assert auto_planes(2_048_000) == 14
+    # ×4 data → exactly +2 bits at constant target occupancy
+    for n in (100_000, 1_000_000, 10_000_000):
+        assert auto_planes(4 * n) == auto_planes(n) + 2
+    # monotonic in corpus size, clamped at both ends, total-garbage safe
+    assert auto_planes(0) == 8
+    assert auto_planes(10) == 8
+    assert auto_planes(10**12) <= 30
+    assert auto_planes(10**12, max_planes=24) == 24
+
+
 def test_multimodal_extract_features_fake_decoder(spark):
     from webscrap_datapipeline_spark.operators.multimodal import (
         extract_features,

@@ -53,12 +53,43 @@ def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
     return out
 
 
+def auto_planes(
+    n_rows: int, target_occupancy: int = 128, min_planes: int = 8, max_planes: int = 30
+) -> int:
+    """Signature bits for ``lsh_bucket`` scaled to corpus size: the
+    smallest b with n / 2**b <= target_occupancy.
+
+    Why this must scale with log2(n): with FIXED b the 2**b buckets fill
+    linearly as the corpus grows, so within-bucket candidate pairs grow
+    QUADRATICALLY — measured on the replicated embeddings corpus at 12
+    planes: 41.9M candidate pairs at ×256 (512k vectors) → 670.6M at
+    ×1024 (2.05M vectors), ×16.0 for ×4 data (SCALE.md round 6, ×1024).
+    Two more bits at ×1024 (this function picks 14) restore near-linear
+    candidate volume (192.5M ≈ 1.15× the linear-scaled count) at the
+    usual recall trade (near-dup pairs split across finer buckets; keep
+    ``target_occupancy`` constant rather than re-tuning per corpus).
+
+    The oracled registry queries keep their FIXED plane counts — the
+    bucket expression is part of the driver-checked semantics; this
+    helper is the production path for corpus-sized invocations."""
+    import math
+
+    if n_rows <= 0:
+        return min_planes
+    b = math.ceil(math.log2(max(1.0, n_rows / target_occupancy)))
+    return max(min_planes, min(max_planes, b))
+
+
 def lsh_bucket(
     df: DataFrame, vec: str, dim: int, n_planes: int = 12, seed: int = 7
 ) -> DataFrame:
     """Adds a ``bucket`` column: the n_planes sign bits of dot(vec, Hₚ)
     packed into a BIGINT. Pure column math over a literal plane matrix —
-    broadcast as constants inside codegen, no shuffle."""
+    broadcast as constants inside codegen, no shuffle. ``n_planes`` must
+    grow with log2(corpus) to keep bucket occupancy — and therefore the
+    candidate-join volume — linear in the corpus; use ``auto_planes``
+    for corpus-sized invocations (fixed counts go quadratic: see its
+    docstring for the measured ×1024 term)."""
     planes = [_hyperplane(seed, p, dim) for p in range(n_planes)]
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
