@@ -1,0 +1,116 @@
+"""Streaming throughput probe: sustained rows/sec through ST1.
+
+The reference's change detection is an hourly batch diff (reference
+src/utils.py:168-194); the streaming twin (`streaming/change_detection.
+detect_changes_stream`, applyInPandasWithState) runs continuously. This
+probe measures what that operator actually sustains on local[32]: a
+`rate` source at ``--rate`` rows/sec is mapped to the operator's
+(key, last_seen_ts) input shape in the WORST case for state churn —
+every incoming row changes its key's stored value, so every row both
+rewrites state and emits output — and the query runs for ``--seconds``
+against a `noop` sink (no sink-side bottleneck).
+
+Reported from the post-warmup `recentProgress` batches:
+
+  processed_rows_per_sec   mean engine throughput
+  input_rows_per_sec       offered load (≈ --rate when keeping up)
+  keeping_up               processed ≥ 95% of input, i.e. no growing
+                           backlog — the number that matters for sizing
+  batch_ms p50/max         micro-batch latency and its stability
+  state_rows               distinct keys held in the state store
+
+Key cardinality (``--keys``) bounds state: state size is O(keys), not
+O(rows seen) — the property SCALE.md's "Streaming state bounds" section
+claims; this probe is its measurement.
+
+Run:  python scripts/streaming_throughput_probe.py \
+          [--rate 200000] [--seconds 45] [--keys 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=int, default=200_000, help="offered rows/sec")
+    ap.add_argument("--seconds", type=int, default=45, help="measurement window")
+    ap.add_argument("--keys", type=int, default=100_000, help="distinct state keys")
+    args = ap.parse_args()
+
+    from webscrap_datapipeline_spark.session import get_spark
+    from webscrap_datapipeline_spark.streaming.change_detection import (
+        detect_changes_stream,
+    )
+
+    spark = get_spark(app_name="streaming-throughput-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(args.rate))
+        .load()
+        # worst-case churn: key cycles through --keys ids, ts is the
+        # monotonically increasing row id — every row differs from the
+        # key's stored value, so every row is a state write + an output
+        .select(
+            F.concat(F.lit("k"), (F.col("value") % args.keys)).alias("key"),
+            F.col("value").cast("string").alias("last_seen_ts"),
+        )
+    )
+
+    q = (
+        detect_changes_stream(src)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        time.sleep(args.seconds)
+        # PySpark 4 returns StreamingQueryProgress objects; .json is the
+        # JSON string, giving plain dicts for the field reads below
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    spark.stop()
+
+    # drop warm-up: first 1/3 of batches (codegen + state-store open)
+    usable = progress[max(1, len(progress) // 3):]
+    if not usable:
+        print(json.dumps({"error": "no progress batches recorded"}))
+        return
+    proc = [p["processedRowsPerSecond"] for p in usable if p.get("numInputRows")]
+    inp = [p["inputRowsPerSecond"] for p in usable if p.get("numInputRows")]
+    durs = [p["batchDuration"] for p in usable]
+    state_rows = max(
+        (op.get("numRowsTotal", 0) for p in usable for op in p.get("stateOperators", [])),
+        default=0,
+    )
+    processed = round(statistics.mean(proc), 1) if proc else 0.0
+    offered = round(statistics.mean(inp), 1) if inp else 0.0
+    out = {
+        "offered_rate": args.rate,
+        "keys": args.keys,
+        "batches_measured": len(usable),
+        "input_rows_per_sec": offered,
+        "processed_rows_per_sec": processed,
+        "keeping_up": bool(proc) and processed >= 0.95 * offered,
+        "batch_ms_p50": round(statistics.median(durs), 1) if durs else None,
+        "batch_ms_max": max(durs) if durs else None,
+        "state_rows": state_rows,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
