@@ -761,10 +761,11 @@ def test_kmeans_fused_step_matches_decimal_lloyd_relation(spark):
 
 def test_kmeans_fused_step_overflow_guard_raises_not_wraps(spark):
     """numpy int64 wraparound is silent — the fused pass must RAISE when
-    the scaled partial sums could leave the int64 envelope (round-5
-    ADVICE: |x| ≳ 9.2e10 wraps in the astype; unnormalized |x| shrinks
-    the accumulation headroom proportionally), and reject non-finite
-    inputs instead of folding garbage into the centroids."""
+    an ACTUAL scaled partial sum leaves the int64 envelope of the
+    partial-row schema (round-5 ADVICE: |x| ≳ 9.2e10 wraps in the
+    astype; unnormalized |x| shrinks the accumulation headroom
+    proportionally), and reject non-finite inputs instead of folding
+    garbage into the centroids."""
     from pyspark.errors import PythonException
 
     from webscrap_datapipeline_spark.operators.clustering import _fused_step_centroids
@@ -782,6 +783,36 @@ def test_kmeans_fused_step_overflow_guard_raises_not_wraps(spark):
     # headroom arithmetic, driver-side (no Spark round-trip): 4 rows at
     # |x|=1e11 scaled by 1e8 → bound 4e19 ≥ 2^62 → must trip
     assert 4 * (int(1.0e11 * 1e8) + 1) >= 2**62
+
+
+def test_kmeans_fused_step_worstcase_bound_degrades_exact_not_abort(spark):
+    """Tripping the WORST-CASE headroom bound must NOT abort (round-6
+    review: the bound assumes every row lands in one cluster with
+    aligned signs, so a large partition of moderate, sign-mixed values
+    trips it while its true sums sit far inside int64). The pass
+    switches to Python-int accumulation and still returns exact
+    centroids — including when |x| is large enough (≥ ~9.2e10) that the
+    scaled int64 CAST itself would silently wrap."""
+    from webscrap_datapipeline_spark.operators.clustering import _fused_step_centroids
+
+    far = [[0.0, 0.0], [1.0e15, 1.0e15]]  # all rows assign to cluster 0
+
+    # bound trips (10 × 1e18 ≥ 2^62) but true sum is exactly 0
+    mixed = spark.createDataFrame(
+        [(i, [1.0e10 if i % 2 == 0 else -1.0e10, 0.0]) for i in range(10)],
+        "vec_id int, embedding array<double>",
+    ).coalesce(1)
+    out = _fused_step_centroids(mixed, "embedding", far)
+    assert out[0][0] == 10 and out[0][1] == [0.0, 0.0]
+
+    # cast-wrapping magnitude (1e11 · 1e8 ≥ 2^63) with cancelling signs:
+    # the object-int scaling branch, still exact, still no raise
+    wrap = spark.createDataFrame(
+        [(0, [1.0e11, 0.0]), (1, [-1.0e11, 0.0])],
+        "vec_id int, embedding array<double>",
+    ).coalesce(1)
+    out = _fused_step_centroids(wrap, "embedding", far)
+    assert out[0][0] == 2 and out[0][1] == [0.0, 0.0]
 
 
 def test_merge_agg_state_equals_full_recompute(spark):

@@ -404,10 +404,15 @@ def test_scd_merge_into_catalog_table_matches_overwrite_protocol(spark):
 
     tbl = "scd_merge_e2e"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # The NULL-key rows pin the null-safe match (<=> / eqNullSafe): a
+    # plain equi-join de-flag would leave BOTH null-key rows current.
     initial = spark.createDataFrame(
-        [("A", 1, "v1-A"), ("B", 1, "v1-B"), ("C", 1, "v1-C")], ["k", "ts", "payload"]
+        [("A", 1, "v1-A"), ("B", 1, "v1-B"), ("C", 1, "v1-C"), (None, 1, "v1-N")],
+        ["k", "ts", "payload"],
     )
-    batch = spark.createDataFrame([("A", 2, "v2-A"), ("G", 2, "v1-G")], ["k", "ts", "payload"])
+    batch = spark.createDataFrame(
+        [("A", 2, "v2-A"), ("G", 2, "v1-G"), (None, 2, "v2-N")], ["k", "ts", "payload"]
+    )
     try:
         assert scd_merge_into(spark, tbl, initial, key="k") == "init"
 
@@ -423,8 +428,11 @@ def test_scd_merge_into_catalog_table_matches_overwrite_protocol(spark):
         assert scd_merge_into(spark, tbl, batch, key="k") == "overwrite-fallback"
 
         got = sorted(
-            (r["k"], r["ts"], r["payload"], r["CURRENT_IND"])
-            for r in spark.table(tbl).collect()
+            (
+                (r["k"], r["ts"], r["payload"], r["CURRENT_IND"])
+                for r in spark.table(tbl).collect()
+            ),
+            key=repr,  # None-safe: tuples mix None and str keys
         )
         want_df = apply_current_flag(
             apply_current_flag(initial.limit(0), initial, "k", "ts"),
@@ -434,11 +442,12 @@ def test_scd_merge_into_catalog_table_matches_overwrite_protocol(spark):
             dedupe_exact=False,
         )
         want = sorted(
-            (r["k"], r["ts"], r["payload"], r["CURRENT_IND"]) for r in want_df.collect()
+            ((r["k"], r["ts"], r["payload"], r["CURRENT_IND"]) for r in want_df.collect()),
+            key=repr,
         )
         assert got == want
         cur = {r[0]: r[2] for r in got if r[3] == "Y"}
-        assert cur == {"A": "v2-A", "B": "v1-B", "C": "v1-C", "G": "v1-G"}
+        assert cur == {"A": "v2-A", "B": "v1-B", "C": "v1-C", "G": "v1-G", None: "v2-N"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
@@ -460,13 +469,15 @@ def test_scd_merge_transcript_duckdb_replay_matches_apply_current_flag(spark):
 
     state = pd.DataFrame(
         {
-            "k": ["A", "B", "C"],
-            "ts": [1, 1, 1],
-            "payload": ["v1-A", "v1-B", "v1-C"],
-            "CURRENT_IND": ["Y", "Y", "Y"],
+            "k": ["A", "B", "C", None],
+            "ts": [1, 1, 1, 1],
+            "payload": ["v1-A", "v1-B", "v1-C", "v1-N"],
+            "CURRENT_IND": ["Y", "Y", "Y", "Y"],
         }
     )
-    batch = pd.DataFrame({"k": ["A", "G"], "ts": [2, 2], "payload": ["v2-A", "v1-G"]})
+    batch = pd.DataFrame(
+        {"k": ["A", "G", None], "ts": [2, 2, 2], "payload": ["v2-A", "v1-G", "v2-N"]}
+    )
 
     con = duckdb.connect()
     con.execute("CREATE TABLE target AS SELECT * FROM state")
@@ -475,7 +486,7 @@ def test_scd_merge_transcript_duckdb_replay_matches_apply_current_flag(spark):
         "target", "incoming", "k", ["k", "ts", "payload"], dialect="ansi"
     ):
         con.execute(stmt)
-    duck = sorted(map(tuple, con.execute("SELECT * FROM target").fetchall()))
+    duck = sorted(map(tuple, con.execute("SELECT * FROM target").fetchall()), key=repr)
 
     got_df = apply_current_flag(
         spark.createDataFrame(state),
@@ -484,5 +495,8 @@ def test_scd_merge_transcript_duckdb_replay_matches_apply_current_flag(spark):
         "ts",
         dedupe_exact=False,
     )
-    got = sorted((r["k"], r["ts"], r["payload"], r["CURRENT_IND"]) for r in got_df.collect())
+    got = sorted(
+        ((r["k"], r["ts"], r["payload"], r["CURRENT_IND"]) for r in got_df.collect()),
+        key=repr,
+    )
     assert got == duck

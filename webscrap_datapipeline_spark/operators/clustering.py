@@ -137,13 +137,17 @@ def _fused_step_centroids(
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.int64)
         seen = False
-        # Conservative Python-int ceiling on any |sums| cell: numpy int64
-        # wraps SILENTLY, so the exactness guarantee needs an explicit
-        # guard (round-5 ADVICE). Covers both the scaled cast (|x| ≳
-        # 9.2e10 wraps in astype) and the per-partition accumulation
-        # (unnormalized |x|~1e4 shrinks headroom 1e4×; a cached or
-        # repartitioned input is NOT bounded by maxPartitionBytes).
+        # numpy int64 wraps SILENTLY, so the exactness guarantee needs an
+        # explicit guard (round-5 ADVICE). The ceiling below is the WORST
+        # case — every row in one cluster, signs aligned — so tripping it
+        # does NOT abort (a ~1M-row cached partition with |x|~1e4 trips
+        # the bound while its true per-cluster, sign-mixed sums sit far
+        # inside int64 — round-6 review): it switches accumulation to
+        # object dtype, i.e. arbitrary-precision Python ints, and only an
+        # ACTUAL partial that cannot be emitted through the bigint Arrow
+        # schema raises, at emit time, when it is a fact and not a bound.
         acc_bound = 0
+        exact = False  # object-dtype (Python-int) accumulation engaged
         for pdf in batches:
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             if X.size == 0:
@@ -154,23 +158,48 @@ def _fused_step_centroids(
                 raise ValueError(
                     f"non-finite value in {vec_col!r}: fused k-means needs finite embeddings"
                 )
-            acc_bound += len(X) * (int(m * _FAST_SCALE) + 1)
-            if acc_bound >= 2**62:
-                raise OverflowError(
-                    f"fused k-means scaled-int64 partial sums could exceed the int64 "
-                    f"envelope on this partition (max|x|={m:.3g}, worst-case cell "
-                    f"bound {acc_bound:.3g}): normalize the embeddings, repartition "
-                    f"to smaller partitions, or use the decimal-exact lloyd_update path"
-                )
+            # pure-int worst case per cell: int(m * _FAST_SCALE) itself
+            # overflows to float inf past |x|~1.7e300, so never form it
+            cell_bound = int(m) * _FAST_SCALE + _FAST_SCALE
+            acc_bound += len(X) * cell_bound
+            if acc_bound >= 2**62 and not exact:
+                sums = sums.astype(object)
+                exact = True
             # explicit (x-c)² — the expanded form is faster but loses
             # ulps that can flip argmin on near-ties; determinism wins.
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
             a = np.argmin(d2, axis=1)
-            Xs = (X * _FAST_SCALE).astype(np.int64)
+            if cell_bound >= 2**63:
+                # the scaled int64 CAST itself would wrap — truncate in
+                # float64 (same toward-zero rule) and lift to Python ints
+                Xf = X * _FAST_SCALE
+                if not np.isfinite(Xf).all():
+                    raise OverflowError(
+                        f"|{vec_col}| values around {m:.3g} overflow float64 when "
+                        f"scaled by {_FAST_SCALE}: rescale the embeddings or use "
+                        f"the decimal-exact lloyd_update path"
+                    )
+                Xs = np.array(
+                    [[int(v) for v in row] for row in np.trunc(Xf)], dtype=object
+                )
+            else:
+                Xs = (X * _FAST_SCALE).astype(np.int64)
             np.add.at(counts, a, 1)
             for c in np.unique(a):
-                sums[c] += Xs[a == c].sum(axis=0)
+                part = Xs[a == c]
+                sums[c] += part.sum(axis=0, dtype=object) if exact else part.sum(axis=0)
         if seen:
+            if exact:
+                worst = max((abs(int(v)) for v in sums.reshape(-1)), default=0)
+                if worst >= 2**63:
+                    raise OverflowError(
+                        f"fused k-means partial sum {worst:.3g} (scaled by "
+                        f"{_FAST_SCALE}) exceeds the int64 envelope of the partial-"
+                        f"row schema: normalize the embeddings, repartition to "
+                        f"smaller partitions, or use the decimal-exact lloyd_update "
+                        f"path"
+                    )
+                sums = sums.astype(np.int64)
             nz = np.nonzero(counts)[0]
             yield pd.DataFrame(
                 {

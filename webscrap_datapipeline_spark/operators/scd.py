@@ -167,6 +167,16 @@ def scd_merge_statements(
     identifiers — runnable by DuckDB, which is how the transcript's
     semantics are engine-verified in this container (no v2 catalog
     ships here; see tests/test_pipeline_e2e.py).
+
+    Both dialects match keys NULL-SAFELY (``<=>`` / ``IS NOT DISTINCT
+    FROM``) where the reference used plain ``IN`` (src/
+    gcp_processes.py:39): ``t.k = s.k`` never matches a NULL key, so a
+    batch carrying a NULL-key row would append it flagged 'Y' while the
+    old NULL-key row KEPT its flag — two current rows for one key,
+    silently diverging from ``apply_current_flag``, whose window
+    ``partitionBy(key)`` groups NULLs like any other key value. The
+    null-safe predicate restores the one-current-row-per-key invariant
+    for every key value, NULL included.
     """
     if dialect == "spark":
         q = "`"
@@ -180,11 +190,14 @@ def scd_merge_statements(
         deflag = (
             f"MERGE INTO {t} AS t "
             f"USING (SELECT DISTINCT {k} FROM {s}) AS s "
-            f"ON t.{k} = s.{k} "
+            f"ON t.{k} <=> s.{k} "
             f"WHEN MATCHED THEN UPDATE SET t.{fl} = NULL"
         )
     else:
-        deflag = f"UPDATE {t} SET {fl} = NULL WHERE {k} IN (SELECT {k} FROM {s})"
+        deflag = (
+            f"UPDATE {t} SET {fl} = NULL WHERE EXISTS "
+            f"(SELECT 1 FROM {s} WHERE {s}.{k} IS NOT DISTINCT FROM {t}.{k})"
+        )
     append = (
         f"INSERT INTO {t} ({cols}, {fl}) SELECT {cols}, 'Y' FROM {s}"
     )
@@ -234,16 +247,24 @@ def scd_merge_into(
             # not reading the table it rewrites (same reason as
             # scd_upsert_partitioned).
             tbl = spark.table(target_table)
-            hit = incoming.select(F.col(key)).distinct().withColumn("__hit", F.lit(1))
+            # eqNullSafe, not `on=key`: the MERGE form above matches
+            # NULL keys via <=>, so the fallback must de-flag them too
+            # (a plain equi-join would leave the old NULL-key row
+            # flagged alongside the newly appended one).
+            hit = (
+                incoming.select(F.col(key).alias("__hit_key"))
+                .distinct()
+                .withColumn("__hit", F.lit(1))
+            )
             deflagged = (
-                tbl.join(hit, on=key, how="left")
+                tbl.join(hit, tbl[key].eqNullSafe(hit["__hit_key"]), how="left")
                 .withColumn(
                     flag_col,
                     F.when(F.col("__hit").isNotNull(), F.lit(None).cast("string")).otherwise(
                         F.col(flag_col)
                     ),
                 )
-                .drop("__hit")
+                .drop("__hit", "__hit_key")
                 .select(*tbl.columns)  # keep the table's column order
                 .localCheckpoint(eager=True)
             )
