@@ -38,6 +38,7 @@ from webscrap_datapipeline_spark.catalog import load_table  # noqa: E402
 from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
 
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_TABLES = ["documents", "embeddings", "events"]
 QUERIES = tuple(
     os.environ.get(
         "SPARK_GRAFT_SCALE_QUERIES",
@@ -151,11 +152,42 @@ def main() -> None:
     for factor in factors:
         corpus_dir = os.path.join(args.out, f"x{factor}")
         sentinel = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
-        if not os.path.isfile(sentinel):
+        # The sentinel payload records WHAT the corpus was built from —
+        # reusing a kept x-dir built from a different SPARK_GRAFT_SF_DIR
+        # would mix two source corpora into one growth curve with no
+        # warning (round-6 review). A payload mismatch rebuilds; a
+        # legacy empty sentinel (pre-payload builds, all from the
+        # default sf0.1) is adopted and re-stamped only when the current
+        # source IS that default.
+        stamp = {"builder": "scale_spot", "src_sf": SRC_SF, "tables": _TABLES}
+        reuse = False
+        if os.path.isfile(sentinel):
+            try:
+                with open(sentinel) as fh:
+                    raw = fh.read().strip()
+                found = json.loads(raw) if raw else None
+            except ValueError:
+                found = None
+            if found == stamp:
+                reuse = True
+            elif found is None and SRC_SF == "/root/testdata/sf0.1" and all(
+                os.path.isdir(os.path.join(corpus_dir, f"{t}.parquet")) for t in _TABLES
+            ):
+                print(f"adopting legacy sentinel-less-payload corpus at {corpus_dir}", flush=True)
+                with open(sentinel, "w") as fh:
+                    json.dump(stamp, fh)
+                reuse = True
+            else:
+                print(
+                    f"rebuilding {corpus_dir}: sentinel payload {found!r} does not "
+                    f"match this run ({stamp!r})",
+                    flush=True,
+                )
+        if not reuse:
             shutil.rmtree(corpus_dir, ignore_errors=True)
             build_corpus(spark, factor, corpus_dir)
-            with open(sentinel, "w"):
-                pass
+            with open(sentinel, "w") as fh:
+                json.dump(stamp, fh)
         for name in QUERIES:
             fn = REGISTRY[name].fn
             if factor == factors[0]:

@@ -96,6 +96,25 @@ def main() -> None:
     corpus = os.path.join(args.out, f"x{args.factor}")
     sentinel = os.path.join(corpus, "_CORPUS_COMPLETE")
     created_corpus = False
+    if os.path.isfile(sentinel):
+        # scripts/scale_spot.py stamps the same sentinel NAME on its
+        # 3-table corpora — a kept scale_spot tree pointed at --out here
+        # would short-circuit the build and then fail on every missing
+        # relational table (round-6 review). A stamped corpus must still
+        # BE a ten-table corpus; refuse (don't silently delete a foreign
+        # build that may have taken hours) when it isn't.
+        expected = DIM_TABLES + ("orders", "lineitem", "documents", "embeddings", "events")
+        missing = [
+            t
+            for t in expected
+            if not glob.glob(os.path.join(corpus, f"{t}.parquet", "*.parquet"))
+        ]
+        if missing:
+            raise SystemExit(
+                f"{corpus} carries a _CORPUS_COMPLETE sentinel but lacks tables "
+                f"{missing} — a different builder's corpus (scale_spot?). Point "
+                f"--out elsewhere or remove that directory yourself."
+            )
     if os.path.isdir(corpus) and not os.path.isfile(sentinel):
         # A corpus built by a PRE-sentinel version of this script and
         # kept with --keep has every table but no sentinel — deleting it

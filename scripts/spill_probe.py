@@ -72,11 +72,23 @@ def main() -> None:
     v2_dir = os.path.join(args.eventlog_dir, f"eventlog_v2_{app_id}")
     if os.path.isfile(flat):
         log_files = [flat]
-    else:
+    elif os.path.isdir(v2_dir):
         log_files = sorted(
             os.path.join(v2_dir, f)
             for f in os.listdir(v2_dir)
             if f.startswith("events")
+        )
+    else:
+        log_files = []
+    if not log_files:
+        # An all-zero line here would read as "completed without
+        # spilling" in SCALE.md — when the truth is "metrics not
+        # captured" (compression re-enabled, a changed layout, …).
+        # Fail loudly instead (round-6 review).
+        raise SystemExit(
+            f"no event-log files for app {app_id} under {args.eventlog_dir} "
+            f"(looked for {flat} and {v2_dir}/events*): spill metrics NOT "
+            f"captured — check spark.eventLog.* conf before trusting any run"
         )
     for log_path in log_files:
       with open(log_path) as fh:
@@ -95,6 +107,12 @@ def main() -> None:
             shuffle_write += (tm.get("Shuffle Write Metrics") or {}).get(
                 "Shuffle Bytes Written", 0
             )
+    if tasks == 0:
+        raise SystemExit(
+            f"event log for app {app_id} parsed but contains zero "
+            f"SparkListenerTaskEnd events (files: {log_files}): spill metrics "
+            f"NOT captured — an all-zero report would be misread as 'no spill'"
+        )
     print(
         json.dumps(
             {

@@ -77,6 +77,17 @@ def main() -> None:
     )
     try:
         time.sleep(args.seconds)
+        # A query that crashed mid-window would leave its pre-crash
+        # batches in recentProgress and q.stop() would swallow the
+        # death — the probe would then print a keeping_up=true line
+        # built from a failed run (round-6 review). Check liveness
+        # BEFORE reading progress and surface the stream's own error.
+        exc = q.exception()
+        if exc is not None or not q.isActive:
+            raise SystemExit(
+                f"streaming query died {q.isActive=} before the measurement "
+                f"window closed — no throughput claim can be made: {exc}"
+            )
         # PySpark 4 returns StreamingQueryProgress objects; .json is the
         # JSON string, giving plain dicts for the field reads below
         progress = [json.loads(p.json) for p in q.recentProgress]
