@@ -128,6 +128,10 @@ _PINNED_FIRST: dict[str, int] = {
     # the Expand side hash-aggregates (SortAggregate demotion removed,
     # 3.8 → 1.7 s solo); needs a fresh driver row this round.
     "profile_orders": 6,
+    # round 6: plan changed — join-free novelty counts (novel(doc) =
+    # count of shingles whose MIN(doc) is doc; the shingle-cardinality
+    # probe removed, 1.9 → 0.95 s solo); needs a fresh driver row.
+    "corpus_novelty_curve": 6,
 }
 
 
