@@ -132,6 +132,10 @@ _PINNED_FIRST: dict[str, int] = {
     # count of shingles whose MIN(doc) is doc; the shingle-cardinality
     # probe removed, 1.9 → 0.95 s solo); needs a fresh driver row.
     "corpus_novelty_curve": 6,
+    # round 6: plan changed — compute-once calibration (checkpointed
+    # signature/shingle frames, single four-join chain; 2.05 → 1.27 s
+    # solo); needs a fresh driver row.
+    "minhash_estimate_calibration": 6,
 }
 
 
