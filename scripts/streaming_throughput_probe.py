@@ -46,6 +46,15 @@ def main() -> None:
     ap.add_argument("--rate", type=int, default=200_000, help="offered rows/sec")
     ap.add_argument("--seconds", type=int, default=45, help="measurement window")
     ap.add_argument("--keys", type=int, default=100_000, help="distinct state keys")
+    ap.add_argument(
+        "--trigger-seconds",
+        type=int,
+        default=0,
+        help="processingTime trigger (0 = default ASAP micro-batches). The "
+        "group-invocation bound is per BATCH, so a longer trigger amortizes "
+        "each key's Python-group call over more rows — raise --seconds to "
+        "several triggers' worth or too few batches survive warm-up trim",
+    )
     args = ap.parse_args()
 
     from webscrap_datapipeline_spark.session import get_spark
@@ -69,12 +78,10 @@ def main() -> None:
         )
     )
 
-    q = (
-        detect_changes_stream(src)
-        .writeStream.format("noop")
-        .outputMode("append")
-        .start()
-    )
+    ws = detect_changes_stream(src).writeStream.format("noop").outputMode("append")
+    if args.trigger_seconds:
+        ws = ws.trigger(processingTime=f"{args.trigger_seconds} seconds")
+    q = ws.start()
     try:
         time.sleep(args.seconds)
         # A query that crashed mid-window would leave its pre-crash
