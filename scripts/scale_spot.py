@@ -132,6 +132,43 @@ def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
     union_all(ev_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
+def corpus_reuse_decision(
+    corpus_dir: str, stamp: dict, default_src: str = "/root/testdata/sf0.1"
+) -> tuple[bool, str]:
+    """(reuse, reason) for a possibly-kept corpus dir. The sentinel
+    payload records WHAT the corpus was built from — reusing a kept
+    x-dir built from a different SPARK_GRAFT_SF_DIR would mix two
+    source corpora into one growth curve with no warning (round-6
+    review). A payload mismatch rebuilds; a legacy EMPTY sentinel
+    (pre-payload builds, all from the default sf0.1 source) is adopted
+    and re-stamped only when the current source IS that default and
+    the table dirs are present. Unit-tested without Spark in
+    tests/test_scripts.py."""
+    sentinel = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
+    if not os.path.isfile(sentinel):
+        return False, "no sentinel"
+    try:
+        with open(sentinel) as fh:
+            raw = fh.read().strip()
+        found = json.loads(raw) if raw else None
+    except ValueError:
+        found = None
+    if found == stamp:
+        return True, "payload match"
+    if (
+        found is None
+        and stamp.get("src_sf") == default_src
+        and all(
+            os.path.isdir(os.path.join(corpus_dir, f"{t}.parquet"))
+            for t in stamp.get("tables", [])
+        )
+    ):
+        with open(sentinel, "w") as fh:
+            json.dump(stamp, fh)
+        return True, "legacy adopted"
+    return False, f"sentinel payload {found!r} does not match this run ({stamp!r})"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
@@ -152,37 +189,12 @@ def main() -> None:
     for factor in factors:
         corpus_dir = os.path.join(args.out, f"x{factor}")
         sentinel = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
-        # The sentinel payload records WHAT the corpus was built from —
-        # reusing a kept x-dir built from a different SPARK_GRAFT_SF_DIR
-        # would mix two source corpora into one growth curve with no
-        # warning (round-6 review). A payload mismatch rebuilds; a
-        # legacy empty sentinel (pre-payload builds, all from the
-        # default sf0.1) is adopted and re-stamped only when the current
-        # source IS that default.
         stamp = {"builder": "scale_spot", "src_sf": SRC_SF, "tables": _TABLES}
-        reuse = False
-        if os.path.isfile(sentinel):
-            try:
-                with open(sentinel) as fh:
-                    raw = fh.read().strip()
-                found = json.loads(raw) if raw else None
-            except ValueError:
-                found = None
-            if found == stamp:
-                reuse = True
-            elif found is None and SRC_SF == "/root/testdata/sf0.1" and all(
-                os.path.isdir(os.path.join(corpus_dir, f"{t}.parquet")) for t in _TABLES
-            ):
-                print(f"adopting legacy sentinel-less-payload corpus at {corpus_dir}", flush=True)
-                with open(sentinel, "w") as fh:
-                    json.dump(stamp, fh)
-                reuse = True
-            else:
-                print(
-                    f"rebuilding {corpus_dir}: sentinel payload {found!r} does not "
-                    f"match this run ({stamp!r})",
-                    flush=True,
-                )
+        reuse, reason = corpus_reuse_decision(corpus_dir, stamp)
+        if reuse and reason == "legacy adopted":
+            print(f"adopting legacy sentinel-less-payload corpus at {corpus_dir}", flush=True)
+        elif not reuse and reason != "no sentinel":
+            print(f"rebuilding {corpus_dir}: {reason}", flush=True)
         if not reuse:
             shutil.rmtree(corpus_dir, ignore_errors=True)
             build_corpus(spark, factor, corpus_dir)

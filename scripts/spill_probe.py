@@ -35,6 +35,56 @@ from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
 from webscrap_datapipeline_spark.session import get_spark  # noqa: E402
 
 
+def find_event_logs(eventlog_dir: str, app_id: str) -> list[str]:
+    """Event-log files for ``app_id`` under ``eventlog_dir`` — flat
+    legacy file or rolling-v2 ``events_*`` parts. Empty list (never an
+    exception) when neither layout exists; callers fail loudly on
+    empty. Unit-tested without Spark in tests/test_scripts.py."""
+    flat = os.path.join(eventlog_dir, app_id)
+    v2_dir = os.path.join(eventlog_dir, f"eventlog_v2_{app_id}")
+    if os.path.isfile(flat):
+        return [flat]
+    if os.path.isdir(v2_dir):
+        return sorted(
+            os.path.join(v2_dir, f)
+            for f in os.listdir(v2_dir)
+            if f.startswith("events")
+        )
+    return []
+
+
+def parse_task_metrics(log_files: list[str]) -> dict:
+    """Aggregate spill/shuffle metrics over every SparkListenerTaskEnd
+    in the given event-log files."""
+    mem_spilled = disk_spilled = shuffle_write = 0
+    peak_exec = 0
+    tasks = 0
+    for log_path in log_files:
+        with open(log_path) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                tasks += 1
+                mem_spilled += tm.get("Memory Bytes Spilled", 0)
+                disk_spilled += tm.get("Disk Bytes Spilled", 0)
+                peak_exec = max(peak_exec, tm.get("Peak Execution Memory", 0))
+                shuffle_write += (tm.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0
+                )
+    return {
+        "tasks": tasks,
+        "memory_bytes_spilled": mem_spilled,
+        "disk_bytes_spilled": disk_spilled,
+        "max_task_peak_execution_memory": peak_exec,
+        "shuffle_bytes_written": shuffle_write,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--query", required=True)
@@ -62,52 +112,22 @@ def main() -> None:
     sec = round(time.monotonic() - t0, 1)
     spark.stop()
 
-    mem_spilled = disk_spilled = shuffle_write = 0
-    peak_exec = 0
-    tasks = 0
     # Spark 4 defaults to the rolling v2 layout: a directory
     # eventlog_v2_<appId> holding events_* part files (a flat file named
     # <appId> is the legacy single-file layout).
-    flat = os.path.join(args.eventlog_dir, app_id)
-    v2_dir = os.path.join(args.eventlog_dir, f"eventlog_v2_{app_id}")
-    if os.path.isfile(flat):
-        log_files = [flat]
-    elif os.path.isdir(v2_dir):
-        log_files = sorted(
-            os.path.join(v2_dir, f)
-            for f in os.listdir(v2_dir)
-            if f.startswith("events")
-        )
-    else:
-        log_files = []
+    log_files = find_event_logs(args.eventlog_dir, app_id)
     if not log_files:
         # An all-zero line here would read as "completed without
         # spilling" in SCALE.md — when the truth is "metrics not
         # captured" (compression re-enabled, a changed layout, …).
         # Fail loudly instead (round-6 review).
         raise SystemExit(
-            f"no event-log files for app {app_id} under {args.eventlog_dir} "
-            f"(looked for {flat} and {v2_dir}/events*): spill metrics NOT "
-            f"captured — check spark.eventLog.* conf before trusting any run"
+            f"no event-log files for app {app_id} under {args.eventlog_dir}: "
+            f"spill metrics NOT captured — check spark.eventLog.* conf before "
+            f"trusting any run"
         )
-    for log_path in log_files:
-      with open(log_path) as fh:
-        for line in fh:
-            try:
-                ev = json.loads(line)
-            except ValueError:
-                continue
-            if ev.get("Event") != "SparkListenerTaskEnd":
-                continue
-            tm = ev.get("Task Metrics") or {}
-            tasks += 1
-            mem_spilled += tm.get("Memory Bytes Spilled", 0)
-            disk_spilled += tm.get("Disk Bytes Spilled", 0)
-            peak_exec = max(peak_exec, tm.get("Peak Execution Memory", 0))
-            shuffle_write += (tm.get("Shuffle Write Metrics") or {}).get(
-                "Shuffle Bytes Written", 0
-            )
-    if tasks == 0:
+    metrics = parse_task_metrics(log_files)
+    if metrics["tasks"] == 0:
         raise SystemExit(
             f"event log for app {app_id} parsed but contains zero "
             f"SparkListenerTaskEnd events (files: {log_files}): spill metrics "
@@ -121,11 +141,7 @@ def main() -> None:
                 "driver_memory": heap,
                 "sec": sec,
                 "rows": rows,
-                "tasks": tasks,
-                "memory_bytes_spilled": mem_spilled,
-                "disk_bytes_spilled": disk_spilled,
-                "max_task_peak_execution_memory": peak_exec,
-                "shuffle_bytes_written": shuffle_write,
+                **metrics,
                 "oom": False,
             }
         ),

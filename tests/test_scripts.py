@@ -1,0 +1,128 @@
+"""Unit tests (no Spark) for the measurement-script helpers hardened in
+round 6: corpus-reuse provenance decisions and event-log metric parsing.
+These scripts feed SCALE.md's evidence tables, so their failure modes
+(silently mixing corpora from two sources; reporting all-zero spill when
+metrics were never captured) are data-integrity bugs, not conveniences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.scale_spot import corpus_reuse_decision  # noqa: E402
+from scripts.spill_probe import find_event_logs, parse_task_metrics  # noqa: E402
+
+DEFAULT_SRC = "/root/testdata/sf0.1"
+
+
+def _stamp(src=DEFAULT_SRC, tables=("documents",)):
+    return {"builder": "scale_spot", "src_sf": src, "tables": list(tables)}
+
+
+def _mk_corpus(tmp_path, sentinel_content=None, tables=("documents",)):
+    d = tmp_path / "x4"
+    d.mkdir()
+    for t in tables:
+        (d / f"{t}.parquet").mkdir()
+    if sentinel_content is not None:
+        (d / "_CORPUS_COMPLETE").write_text(sentinel_content)
+    return str(d)
+
+
+def test_corpus_reuse_no_sentinel_rebuilds(tmp_path):
+    d = _mk_corpus(tmp_path)
+    assert corpus_reuse_decision(d, _stamp()) == (False, "no sentinel")
+
+
+def test_corpus_reuse_payload_match(tmp_path):
+    s = _stamp()
+    d = _mk_corpus(tmp_path, sentinel_content=json.dumps(s))
+    assert corpus_reuse_decision(d, s) == (True, "payload match")
+
+
+def test_corpus_reuse_src_mismatch_rebuilds(tmp_path):
+    d = _mk_corpus(tmp_path, sentinel_content=json.dumps(_stamp(src="/elsewhere/sf1")))
+    reuse, reason = corpus_reuse_decision(d, _stamp())
+    assert not reuse and "does not match" in reason
+
+
+def test_corpus_reuse_legacy_empty_sentinel_adopted_only_on_default_src(tmp_path):
+    # legacy empty sentinel + default source + tables present → adopt
+    d = _mk_corpus(tmp_path, sentinel_content="")
+    reuse, reason = corpus_reuse_decision(d, _stamp())
+    assert (reuse, reason) == (True, "legacy adopted")
+    # adoption re-stamps the payload so the NEXT run is a plain match
+    with open(os.path.join(d, "_CORPUS_COMPLETE")) as fh:
+        assert json.load(fh) == _stamp()
+
+
+def test_corpus_reuse_legacy_rejected_on_nondefault_src(tmp_path):
+    d = _mk_corpus(tmp_path, sentinel_content="")
+    reuse, _ = corpus_reuse_decision(d, _stamp(src="/root/testdata/sf0.01"))
+    assert not reuse
+
+
+def test_corpus_reuse_legacy_rejected_when_tables_missing(tmp_path):
+    d = _mk_corpus(tmp_path, sentinel_content="", tables=())
+    reuse, _ = corpus_reuse_decision(d, _stamp(tables=("documents",)))
+    assert not reuse
+
+
+def test_find_event_logs_missing_layouts_returns_empty(tmp_path):
+    # neither flat file nor v2 dir: empty list, never an exception
+    assert find_event_logs(str(tmp_path), "app-123") == []
+
+
+def test_find_event_logs_flat_and_v2(tmp_path):
+    flat = tmp_path / "app-1"
+    flat.write_text("")
+    assert find_event_logs(str(tmp_path), "app-1") == [str(flat)]
+    v2 = tmp_path / "eventlog_v2_app-2"
+    v2.mkdir()
+    (v2 / "events_1_app-2").write_text("")
+    (v2 / "appstatus_app-2").write_text("")  # status marker: not an events file
+    assert find_event_logs(str(tmp_path), "app-2") == [str(v2 / "events_1_app-2")]
+
+
+def test_parse_task_metrics_aggregates_and_counts_tasks(tmp_path):
+    log = tmp_path / "events"
+    rows = [
+        {"Event": "SparkListenerJobStart"},
+        {
+            "Event": "SparkListenerTaskEnd",
+            "Task Metrics": {
+                "Memory Bytes Spilled": 10,
+                "Disk Bytes Spilled": 3,
+                "Peak Execution Memory": 100,
+                "Shuffle Write Metrics": {"Shuffle Bytes Written": 7},
+            },
+        },
+        {
+            "Event": "SparkListenerTaskEnd",
+            "Task Metrics": {
+                "Memory Bytes Spilled": 5,
+                "Disk Bytes Spilled": 0,
+                "Peak Execution Memory": 250,
+            },
+        },
+        {"Event": "SparkListenerTaskEnd"},  # no metrics block: counted, adds 0
+    ]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\nnot-json\n")
+    m = parse_task_metrics([str(log)])
+    assert m == {
+        "tasks": 3,
+        "memory_bytes_spilled": 15,
+        "disk_bytes_spilled": 3,
+        "max_task_peak_execution_memory": 250,
+        "shuffle_bytes_written": 7,
+    }
+
+
+def test_parse_task_metrics_empty_log_reports_zero_tasks(tmp_path):
+    log = tmp_path / "events"
+    log.write_text(json.dumps({"Event": "SparkListenerJobStart"}) + "\n")
+    assert parse_task_metrics([str(log)])["tasks"] == 0
