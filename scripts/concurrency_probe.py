@@ -53,11 +53,98 @@ PROBE_QUERIES = (
 )
 
 
+# The adversarial-mix light tenants: sub-second, scan+agg/window shaped —
+# the "interactive dashboard" class a monster batch query starves first.
+LIGHT_QUERIES = (
+    "priority_order_counts",
+    "top_revenue_supplier_window",
+    "late_lines_by_returnflag",
+    "embedding_ann_lsh_topk",
+)
+
+
+def _adversarial(
+    spark, REGISTRY, sf: str, heavy_name: str, fair: bool, heavy_sf: str | None = None
+) -> dict:
+    """One heavy tenant vs four light tenants: start ``heavy_name`` in a
+    thread, then loop the light set sequentially until the heavy query
+    finishes; report each light query's median latency under contention
+    vs its best-of-2 solo baseline. This measures what FAIR actually
+    protects — small-tenant latency under a monster query — instead of
+    asserting it."""
+    import statistics
+    import threading
+
+    heavy_sf = heavy_sf or sf
+    for name in LIGHT_QUERIES:  # warm-up, discarded
+        REGISTRY[name].fn(spark, sf).count()
+    solo = {}
+    for name in LIGHT_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            REGISTRY[name].fn(spark, sf).count()
+            best = min(best, time.monotonic() - t0)
+        solo[name] = round(best, 3)
+
+    heavy_done = threading.Event()
+    heavy_sec = [0.0]
+
+    def run_heavy():
+        if fair:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "heavy")
+        t0 = time.monotonic()
+        REGISTRY[heavy_name].fn(spark, heavy_sf).count()
+        heavy_sec[0] = round(time.monotonic() - t0, 3)
+        heavy_done.set()
+
+    th = threading.Thread(target=run_heavy)
+    th.start()
+    lat: dict[str, list[float]] = {n: [] for n in LIGHT_QUERIES}
+    if fair:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "light")
+    while not heavy_done.is_set():
+        for name in LIGHT_QUERIES:
+            t0 = time.monotonic()
+            REGISTRY[name].fn(spark, sf).count()
+            lat[name].append(time.monotonic() - t0)
+            if heavy_done.is_set():
+                break
+    th.join()
+    med = {n: round(statistics.median(v), 3) for n, v in lat.items() if v}
+    return {
+        "mode": "FAIR" if fair else "FIFO",
+        "heavy": heavy_name,
+        "heavy_sf": heavy_sf,
+        "heavy_sec": heavy_sec[0],
+        "light_solo": solo,
+        "light_median_under_heavy": med,
+        "light_slowdown": {
+            n: round(med[n] / solo[n], 2) for n in med if solo.get(n, 0) > 0
+        },
+        "light_rounds_completed": min(len(v) for v in lat.values()) if lat else 0,
+        "sf": sf,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="number of concurrent queries")
     ap.add_argument("--fair", action="store_true", help="use FAIR scheduler, one pool per thread")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--adversarial",
+        metavar="HEAVY_QUERY",
+        default=None,
+        help="adversarial mix instead of the uniform fan-out: run this heavy "
+        "query as one tenant and measure the light set's latency under it",
+    )
+    ap.add_argument(
+        "--heavy-sf",
+        default=None,
+        help="corpus for the adversarial heavy tenant (default: --sf). Point "
+        "at a scaled corpus so the monster query outlives many light rounds",
+    )
     args = ap.parse_args()
 
     from webscrap_datapipeline_spark.plans import REGISTRY
@@ -66,6 +153,14 @@ def main() -> None:
     extra = {"spark.scheduler.mode": "FAIR"} if args.fair else {}
     spark = get_spark(app_name="concurrency-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.adversarial:
+        out = _adversarial(
+            spark, REGISTRY, args.sf, args.adversarial, args.fair, args.heavy_sf
+        )
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     if not 1 <= args.n <= len(PROBE_QUERIES):
         # never silently clamp: two runs "--n 8" and "--n 16" would
