@@ -89,14 +89,22 @@ def _adversarial(
 
     heavy_done = threading.Event()
     heavy_sec = [0.0]
+    heavy_err: list[BaseException] = []
 
     def run_heavy():
-        if fair:
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "heavy")
-        t0 = time.monotonic()
-        REGISTRY[heavy_name].fn(spark, heavy_sf).count()
-        heavy_sec[0] = round(time.monotonic() - t0, 3)
-        heavy_done.set()
+        # finally-set: an exception here (bad query name, missing
+        # corpus) must not leave the light loop spinning forever
+        # (round-6 review); the error is re-raised after join.
+        try:
+            if fair:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", "heavy")
+            t0 = time.monotonic()
+            REGISTRY[heavy_name].fn(spark, heavy_sf).count()
+            heavy_sec[0] = round(time.monotonic() - t0, 3)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            heavy_err.append(e)
+        finally:
+            heavy_done.set()
 
     th = threading.Thread(target=run_heavy)
     th.start()
@@ -111,6 +119,11 @@ def _adversarial(
             if heavy_done.is_set():
                 break
     th.join()
+    if heavy_err:
+        raise SystemExit(
+            f"adversarial heavy tenant {heavy_name!r} failed — no fairness "
+            f"claim can be made: {heavy_err[0]!r}"
+        )
     med = {n: round(statistics.median(v), 3) for n, v in lat.items() if v}
     return {
         "mode": "FAIR" if fair else "FIFO",

@@ -40,7 +40,40 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 _GROUP_OFF = 1_000_000_000_000  # above any per-copy offset in the source
 
 
+def _read_sentinel(corpus: str) -> dict | None:
+    """Parsed sentinel payload, or None for a missing/legacy-empty one."""
+    path = os.path.join(corpus, "_CORPUS_COMPLETE")
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as fh:
+            raw = fh.read().strip()
+        return json.loads(raw) if raw else None
+    except ValueError:
+        return None
+
+
 def derive4x(spark: SparkSession, src: str, out: str) -> None:
+    # Provenance guards (round-6 review): (1) a source without a
+    # sentinel may be a truncated build — deriving from it would
+    # launder incomplete data into a stamped-complete corpus; (2) an
+    # already-DERIVED source breaks both invariants on a second hop
+    # (src group 0's `foo`→`foo_g1` collides with src group 1's
+    # `foo_g1`, and +1e12 offsets collide with the ids group 1 already
+    # carries) — the output would look fine but its posting lists
+    # would span groups and the volume 'linearity' would be garbage.
+    src_stamp = _read_sentinel(src)
+    if not os.path.isfile(os.path.join(src, "_CORPUS_COMPLETE")):
+        raise SystemExit(
+            f"{src} has no _CORPUS_COMPLETE sentinel — refusing to derive from "
+            f"a possibly-truncated build"
+        )
+    if src_stamp and src_stamp.get("builder") == "scale_derive":
+        raise SystemExit(
+            f"{src} is itself a derived corpus ({src_stamp!r}): a second "
+            f"derivation hop collides group suffixes (_g1 + _g1) and id "
+            f"offsets — derive each factor from a scale_spot-built source"
+        )
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
     ev = spark.read.parquet(os.path.join(src, "events.parquet"))
@@ -86,41 +119,42 @@ def derive4x(spark: SparkSession, src: str, out: str) -> None:
             )
         )
 
-    def union_all(parts):
-        outp = parts[0]
-        for p in parts[1:]:
-            outp = outp.unionByName(p)
-        return outp
+    from scripts.scale_spot import union_all  # shared, not duplicated
 
     os.makedirs(out, exist_ok=True)
     union_all(d_parts).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     union_all(e_parts).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     union_all(v_parts).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     with open(os.path.join(out, "_CORPUS_COMPLETE"), "w") as fh:
-        json.dump({"builder": "scale_derive", "src": src, "factor": "4x source"}, fh)
+        json.dump(
+            {
+                "builder": "scale_derive",
+                "src": src,
+                "src_sentinel": src_stamp,  # full provenance chain
+                "factor": "4x source",
+            },
+            fh,
+        )
 
 
-def count_volume(spark: SparkSession, corpus: str, cap: int = 1000) -> dict:
+def count_volume(spark: SparkSession, corpus: str, cap: int | None = None) -> dict:
     """Exact near-dup candidate volume: Σ c(c−1)/2 over capped posting
-    lists, via the SAME token→xxhash64 3-gram pipeline
-    operators/dedup.jaccard_pairs shuffles on. Volumes are exact and
-    host-window-independent — the GC-immune way to prove linearity
-    (SCALE.md ×1024 methodology)."""
-    from webscrap_datapipeline_spark.functions.text import tokens
+    lists, via the SAME (doc, shingle-hash) frame and cap constant
+    operators/dedup.jaccard_pairs shuffles on — IMPORTED from there
+    (round-6 review: a reimplementation that drifted from dedup's
+    hashing or cap would silently count a different workload and make
+    the SCALE.md linearity tables unfalsifiable). Volumes are exact
+    and host-window-independent — the GC-immune way to prove
+    linearity (SCALE.md ×1024 methodology)."""
+    from webscrap_datapipeline_spark.operators.dedup import (
+        DEFAULT_SHINGLE_FREQ_CAP,
+        shingle_hash_sets,
+    )
 
+    cap = DEFAULT_SHINGLE_FREQ_CAP if cap is None else cap
     docs = spark.read.parquet(os.path.join(corpus, "documents.parquet"))
-    n = 3
-    toks = tokens("text")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    m = F.size(th) - (n - 1)
-    zipped = F.arrays_zip(*[F.slice(th, j + 1, m) for j in range(n)])
-    sh = docs.filter(F.size(toks) >= n).select(
-        F.col("doc_id").alias("doc"),
-        F.explode(
-            F.array_distinct(
-                F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
-            )
-        ).alias("h"),
+    sh = shingle_hash_sets(docs, "text", "doc_id", n=3).select(
+        "doc", F.explode("sh").alias("h")
     )
     hist = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     row = (

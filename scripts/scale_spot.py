@@ -47,6 +47,15 @@ QUERIES = tuple(
 )
 
 
+def union_all(parts: list[DataFrame]) -> DataFrame:
+    """Fold unionByName over replica parts — shared with
+    scripts/scale_derive.py so both corpus builders stay in lockstep."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
     docs = load_table(spark, "documents", SRC_SF)
     emb = load_table(spark, "embeddings", SRC_SF)
@@ -119,12 +128,6 @@ def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
                 "props",
             )
         )
-
-    def union_all(parts: list[DataFrame]) -> DataFrame:
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     os.makedirs(out_dir, exist_ok=True)
     union_all(doc_parts).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))

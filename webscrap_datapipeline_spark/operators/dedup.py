@@ -79,12 +79,50 @@ def _pair_combos(arr: Column) -> Column:
     )
 
 
+DEFAULT_SHINGLE_FREQ_CAP = 1000
+
+
+def shingle_hash_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, sh: array<long>) — each doc's DISTINCT word-n-gram shingle
+    hashes, the exact frame :func:`jaccard_pairs` builds its posting
+    lists from. Shared (scripts/scale_derive.py's volume counter) so
+    scale-evidence counts provably measure THIS pipeline's workload —
+    a drifted reimplementation would make the linearity tables
+    unfalsifiable.
+
+    Shingle identity is ONLY an internal shuffle key here (never
+    compared against an oracle), so skip building n-gram *strings*
+    entirely: hash each token once (xxhash64, JVM-intrinsic), then
+    combine n consecutive token hashes with a second multi-arg
+    xxhash64 over the longs (position-sensitive, no string allocation,
+    no ANSI overflow — arithmetic combining throws under Spark 4's
+    default ANSI mode). Same 64-bit collision exposure as hashing the
+    n-gram string.
+
+    Evaluation-shape caveat (measured 5× either way): the n-gram
+    windows MUST come from arrays_zip over shifted slices, all at
+    projection top level — indexing the token-hash array inside a
+    lambda (th[i+j]) defeats common-subexpression elimination after
+    projection collapse, re-evaluating the whole token transform per
+    element (O(tokens²) per doc)."""
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(th) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(th, j + 1, m) for j in range(n)])
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
+        ).alias("sh"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | None = DEFAULT_SHINGLE_FREQ_CAP,
 ) -> DataFrame:
     """All doc pairs (a < b) sharing ≥1 word-n-gram shingle, with their
     exact Jaccard similarity over distinct-shingle sets.
@@ -100,31 +138,7 @@ def jaccard_pairs(
     boilerplate shingles ("click here to" in 10M docs would alone
     generate 10M² pairs). At 100 TB this cap is mandatory.
     """
-    # Shingle identity is ONLY an internal shuffle key here (never
-    # compared against an oracle), so skip building n-gram *strings*
-    # entirely: hash each token once (xxhash64, JVM-intrinsic), then
-    # combine n consecutive token hashes with a second multi-arg
-    # xxhash64 over the longs (position-sensitive, no string
-    # allocation, no ANSI overflow — arithmetic combining throws under
-    # Spark 4's default ANSI mode). Same 64-bit collision exposure as
-    # hashing the n-gram string.
-    #
-    # Evaluation-shape caveat (measured 5× either way): the n-gram
-    # windows MUST come from arrays_zip over shifted slices, all at
-    # projection top level — indexing the token-hash array inside a
-    # lambda (th[i+j]) defeats common-subexpression elimination after
-    # projection collapse, re-evaluating the whole token transform per
-    # element (O(tokens²) per doc).
-    toks = tokens(text_col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    m = F.size(th) - (n - 1)
-    zipped = F.arrays_zip(*[F.slice(th, j + 1, m) for j in range(n)])
-    sh = df.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
-        ).alias("sh"),
-    )
+    sh = shingle_hash_sets(df, text_col, id_col, n)
     idx = sh.select(
         F.col("doc"), F.size("sh").alias("sz"), F.explode("sh").alias("h")
     ).select("h", F.struct("doc", "sz").alias("ds"))
