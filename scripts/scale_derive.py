@@ -146,6 +146,14 @@ def count_volume(spark: SparkSession, corpus: str, cap: int | None = None) -> di
     the SCALE.md linearity tables unfalsifiable). Volumes are exact
     and host-window-independent — the GC-immune way to prove
     linearity (SCALE.md ×1024 methodology)."""
+    if not os.path.isfile(os.path.join(corpus, "_CORPUS_COMPLETE")):
+        # Same refusal as derive4x (round-6 ADVICE): a truncated or
+        # interrupted build would yield a silently-wrong pair count,
+        # poisoning the very linearity table this counter exists to prove.
+        raise SystemExit(
+            f"{corpus} has no _CORPUS_COMPLETE sentinel — refusing to count "
+            "candidate volume on a possibly-truncated corpus."
+        )
     from webscrap_datapipeline_spark.operators.dedup import (
         DEFAULT_SHINGLE_FREQ_CAP,
         shingle_hash_sets,

@@ -39,6 +39,14 @@ from webscrap_datapipeline_spark.plans import REGISTRY  # noqa: E402
 
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLES = ["documents", "embeddings", "events"]
+# Construction revision of build_corpus. Bump whenever the replication
+# ALGORITHM changes (not just refactors): a kept corpus built by an older
+# algorithm would otherwise payload-match the stamp and silently mix two
+# constructions into one growth curve (round-6 ADVICE). History:
+#   1 — position-rotation embeddings only (exhausts at k == dim).
+#   2 — k>=64 copies add the xxhash64 sign-pattern decorrelation
+#       (scale_spot build_corpus, commit a0f6b14).
+BUILD_REV = 2
 QUERIES = tuple(
     os.environ.get(
         "SPARK_GRAFT_SCALE_QUERIES",
@@ -142,11 +150,10 @@ def corpus_reuse_decision(
     payload records WHAT the corpus was built from — reusing a kept
     x-dir built from a different SPARK_GRAFT_SF_DIR would mix two
     source corpora into one growth curve with no warning (round-6
-    review). A payload mismatch rebuilds; a legacy EMPTY sentinel
-    (pre-payload builds, all from the default sf0.1 source) is adopted
-    and re-stamped only when the current source IS that default and
-    the table dirs are present. Unit-tested without Spark in
-    tests/test_scripts.py."""
+    review) — and WHICH algorithm revision built it (the ``rev`` token;
+    round-6 ADVICE). Any mismatch — including a legacy empty sentinel,
+    which cannot attest a revision — rebuilds. Unit-tested without
+    Spark in tests/test_scripts.py."""
     sentinel = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
     if not os.path.isfile(sentinel):
         return False, "no sentinel"
@@ -158,17 +165,12 @@ def corpus_reuse_decision(
         found = None
     if found == stamp:
         return True, "payload match"
-    if (
-        found is None
-        and stamp.get("src_sf") == default_src
-        and all(
-            os.path.isdir(os.path.join(corpus_dir, f"{t}.parquet"))
-            for t in stamp.get("tables", [])
-        )
-    ):
-        with open(sentinel, "w") as fh:
-            json.dump(stamp, fh)
-        return True, "legacy adopted"
+    # No legacy-adoption path: an empty (pre-payload) sentinel cannot
+    # attest WHICH construction revision built the corpus, and adopting
+    # it would stamp the current rev onto possibly-older embeddings —
+    # the exact mixing hazard the rev token exists to prevent (round-6
+    # ADVICE). A genuinely-current legacy corpus can be re-stamped by
+    # hand after out-of-band verification (mtime vs the rev commit).
     return False, f"sentinel payload {found!r} does not match this run ({stamp!r})"
 
 
@@ -192,11 +194,14 @@ def main() -> None:
     for factor in factors:
         corpus_dir = os.path.join(args.out, f"x{factor}")
         sentinel = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
-        stamp = {"builder": "scale_spot", "src_sf": SRC_SF, "tables": _TABLES}
+        stamp = {
+            "builder": "scale_spot",
+            "rev": BUILD_REV,
+            "src_sf": SRC_SF,
+            "tables": _TABLES,
+        }
         reuse, reason = corpus_reuse_decision(corpus_dir, stamp)
-        if reuse and reason == "legacy adopted":
-            print(f"adopting legacy sentinel-less-payload corpus at {corpus_dir}", flush=True)
-        elif not reuse and reason != "no sentinel":
+        if not reuse and reason != "no sentinel":
             print(f"rebuilding {corpus_dir}: {reason}", flush=True)
         if not reuse:
             shutil.rmtree(corpus_dir, ignore_errors=True)

@@ -119,12 +119,17 @@ def main() -> None:
         # A corpus built by a PRE-sentinel version of this script and
         # kept with --keep has every table but no sentinel — deleting it
         # here is exactly the behavior the sentinel was added to prevent
-        # (round-5 ADVICE). Adopt it if structurally complete (all ten
-        # table dirs present, each with at least one parquet part);
-        # otherwise it really is an interrupted build.
+        # (round-5 ADVICE). "Every dir has >=1 part" is NOT completeness:
+        # an interrupted pre-tmp-rename in-place build can leave all ten
+        # dirs holding a committed SUBSET of parts (round-6 ADVICE).
+        # Spark's job committer writes the per-table _SUCCESS marker only
+        # after ALL of that table's parts are committed, so adoption now
+        # requires _SUCCESS in every table dir; anything less really is
+        # an interrupted build.
         expected = DIM_TABLES + ("orders", "lineitem", "documents", "embeddings", "events")
         if all(
-            glob.glob(os.path.join(corpus, f"{t}.parquet", "*.parquet"))
+            os.path.isfile(os.path.join(corpus, f"{t}.parquet", "_SUCCESS"))
+            and glob.glob(os.path.join(corpus, f"{t}.parquet", "*.parquet"))
             for t in expected
         ):
             print(f"adopting legacy sentinel-less corpus at {corpus}", flush=True)

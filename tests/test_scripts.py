@@ -19,8 +19,8 @@ from scripts.spill_probe import find_event_logs, parse_task_metrics  # noqa: E40
 DEFAULT_SRC = "/root/testdata/sf0.1"
 
 
-def _stamp(src=DEFAULT_SRC, tables=("documents",)):
-    return {"builder": "scale_spot", "src_sf": src, "tables": list(tables)}
+def _stamp(src=DEFAULT_SRC, tables=("documents",), rev=2):
+    return {"builder": "scale_spot", "rev": rev, "src_sf": src, "tables": list(tables)}
 
 
 def _mk_corpus(tmp_path, sentinel_content=None, tables=("documents",)):
@@ -50,26 +50,23 @@ def test_corpus_reuse_src_mismatch_rebuilds(tmp_path):
     assert not reuse and "does not match" in reason
 
 
-def test_corpus_reuse_legacy_empty_sentinel_adopted_only_on_default_src(tmp_path):
-    # legacy empty sentinel + default source + tables present → adopt
+def test_corpus_reuse_legacy_empty_sentinel_rebuilds(tmp_path):
+    # A legacy EMPTY sentinel cannot attest which construction revision
+    # built the corpus — adoption would stamp the current rev onto
+    # possibly-older embeddings (round-6 ADVICE), so it now rebuilds.
     d = _mk_corpus(tmp_path, sentinel_content="")
     reuse, reason = corpus_reuse_decision(d, _stamp())
-    assert (reuse, reason) == (True, "legacy adopted")
-    # adoption re-stamps the payload so the NEXT run is a plain match
-    with open(os.path.join(d, "_CORPUS_COMPLETE")) as fh:
-        assert json.load(fh) == _stamp()
+    assert not reuse and "does not match" in reason
+    # and the sentinel is NOT silently re-stamped
+    assert (tmp_path / "x4" / "_CORPUS_COMPLETE").read_text() == ""
 
 
-def test_corpus_reuse_legacy_rejected_on_nondefault_src(tmp_path):
-    d = _mk_corpus(tmp_path, sentinel_content="")
-    reuse, _ = corpus_reuse_decision(d, _stamp(src="/root/testdata/sf0.01"))
-    assert not reuse
-
-
-def test_corpus_reuse_legacy_rejected_when_tables_missing(tmp_path):
-    d = _mk_corpus(tmp_path, sentinel_content="", tables=())
-    reuse, _ = corpus_reuse_decision(d, _stamp(tables=("documents",)))
-    assert not reuse
+def test_corpus_reuse_rev_mismatch_rebuilds(tmp_path):
+    # Same builder/src/tables, older algorithm revision: must rebuild —
+    # the exact mixing hazard the rev token exists to prevent.
+    d = _mk_corpus(tmp_path, sentinel_content=json.dumps(_stamp(rev=1)))
+    reuse, reason = corpus_reuse_decision(d, _stamp(rev=2))
+    assert not reuse and "does not match" in reason
 
 
 def test_find_event_logs_missing_layouts_returns_empty(tmp_path):

@@ -20,6 +20,8 @@ src/process_files.py:50) re-expressed three ways per SURVEY.md §2.6:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -226,7 +228,11 @@ def scd_merge_into(
     de-flag into a touched-file rewrite, the same locality
     ``scd_upsert_partitioned`` engineers by hand for plain parquet.
     """
-    src = f"__scd_incoming_{abs(hash(target_table)) % 10**8}"
+    # Per-call unique view name (round-6 ADVICE): a hash of the table
+    # name collides across concurrent calls (same target, or different
+    # targets mod 1e8) — one call's createOrReplaceTempView/dropTempView
+    # would clobber the view another call is still reading.
+    src = f"__scd_incoming_{uuid.uuid4().hex}"
     incoming.createOrReplaceTempView(src)
     try:
         if not spark.catalog.tableExists(target_table):

@@ -124,18 +124,10 @@ _DEFER_TO_ROUND: dict[str, int] = {}
 # least-recently-verified rotation). Round-6 prune cleared the retired
 # r4/r5 pins; repopulate whenever a shipped plan/oracle changes.
 _PINNED_FIRST: dict[str, int] = {
-    # round 6: plan changed — min/max split from the multi-distinct so
-    # the Expand side hash-aggregates (SortAggregate demotion removed,
-    # 3.8 → 1.7 s solo); needs a fresh driver row this round.
-    "profile_orders": 6,
-    # round 6: plan changed — join-free novelty counts (novel(doc) =
-    # count of shingles whose MIN(doc) is doc; the shingle-cardinality
-    # probe removed, 1.9 → 0.95 s solo); needs a fresh driver row.
-    "corpus_novelty_curve": 6,
-    # round 6: plan changed — compute-once calibration (checkpointed
-    # signature/shingle frames, single four-join chain; 2.05 → 1.27 s
-    # solo); needs a fresh driver row.
-    "minhash_estimate_calibration": 6,
+    # (Round-7 prune: the three r6 pins — profile_orders,
+    # corpus_novelty_curve, minhash_estimate_calibration — landed green
+    # rows in CORRECTNESS_r06 and retired. Repopulate whenever a shipped
+    # plan/oracle changes.)
 }
 
 
