@@ -55,11 +55,22 @@ def main() -> None:
         "each key's Python-group call over more rows — raise --seconds to "
         "several triggers' worth or too few batches survive warm-up trim",
     )
+    ap.add_argument(
+        "--mode",
+        choices=("python", "jvm"),
+        default="python",
+        help="'python' = exact applyInPandasWithState path (full ST1 "
+        "semantics, per-group Python dispatch bound); 'jvm' = "
+        "detect_changes_stream_monotone — update-mode max() aggregate, "
+        "every per-key op in the JVM state store (monotone versions, "
+        "at-least-once emission, no change_kind)",
+    )
     args = ap.parse_args()
 
     from webscrap_datapipeline_spark.session import get_spark
     from webscrap_datapipeline_spark.streaming.change_detection import (
         detect_changes_stream,
+        detect_changes_stream_monotone,
     )
 
     spark = get_spark(app_name="streaming-throughput-probe")
@@ -78,7 +89,14 @@ def main() -> None:
         )
     )
 
-    ws = detect_changes_stream(src).writeStream.format("noop").outputMode("append")
+    if args.mode == "jvm":
+        ws = (
+            detect_changes_stream_monotone(src)
+            .writeStream.format("noop")
+            .outputMode("update")
+        )
+    else:
+        ws = detect_changes_stream(src).writeStream.format("noop").outputMode("append")
     if args.trigger_seconds:
         ws = ws.trigger(processingTime=f"{args.trigger_seconds} seconds")
     q = ws.start()
@@ -119,6 +137,8 @@ def main() -> None:
     out = {
         "offered_rate": args.rate,
         "keys": args.keys,
+        "mode": args.mode,
+        "trigger_seconds": args.trigger_seconds,
         "batches_measured": len(usable),
         "input_rows_per_sec": offered,
         "processed_rows_per_sec": processed,

@@ -94,6 +94,56 @@ def test_stateful_change_detection_across_microbatches(spark, tmp_path):
     assert len([r for r in allrows if r[0] == "A"]) == 1
 
 
+def test_jvm_monotone_change_stream_semantics(spark, tmp_path):
+    """The JVM fast path (update-mode max aggregate) vs its contract:
+    every true change emitted with the key's current maximum; unchanged
+    re-observation MAY re-emit the same (key, value) row (at-least-once
+    — Spark flushes every state row a batch touches), so the DEDUPED
+    emission set must equal the exact path's change set modulo the
+    change_kind tag. Monotone versions, matching the reference's
+    advancing scrape timestamps."""
+    from webscrap_datapipeline_spark.streaming.change_detection import (
+        detect_changes_stream_monotone,
+    )
+
+    src_dir = str(tmp_path / "keys_jvm")
+    ckpt = str(tmp_path / "ckpt_jvm")
+    _write_events_json(src_dir, ['{"key": "A", "last_seen_ts": "t1"}',
+                                 '{"key": "B", "last_seen_ts": "t1"}'])
+    stream = spark.readStream.schema("key string, last_seen_ts string").json(src_dir)
+    q = (
+        detect_changes_stream_monotone(stream)
+        .writeStream.format("memory")
+        .queryName("cd_jvm_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {(r["key"], r["last_seen_ts"])
+                 for r in spark.sql("select * from cd_jvm_test").collect()}
+        assert first == {("A", "t1"), ("B", "t1")}
+
+        # second micro-batch: A unchanged (dup), B advanced, C new
+        _write_events_json(src_dir, ['{"key": "A", "last_seen_ts": "t1"}',
+                                     '{"key": "B", "last_seen_ts": "t2"}',
+                                     '{"key": "C", "last_seen_ts": "t1"}'])
+        q.processAllAvailable()
+        allrows = [(r["key"], r["last_seen_ts"])
+                   for r in spark.sql("select * from cd_jvm_test").collect()]
+    finally:
+        q.stop()
+    emitted = set(allrows)
+    # deduped emissions == the exact path's change set (kind aside):
+    # {A:t1 new, B:t1 new, B:t2 changed, C:t1 new}
+    assert emitted == {("A", "t1"), ("B", "t1"), ("B", "t2"), ("C", "t1")}
+    # at-least-once, never wrong-valued: no row may carry a non-current
+    # value at emission time — for monotone inputs that means no value
+    # other than the key's running max ever appears
+    assert ("B", "t1") in emitted  # the pre-advance max was emitted in batch 1
+
+
 def test_file_source_streams_new_reports(spark, tmp_path):
     from webscrap_datapipeline_spark.sources.csv_reports import RAW_REPORT_SCHEMA
 

@@ -421,6 +421,102 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd_current_flag_protocol",
+    # Driver-checks the K5 storage protocol END-TO-END through the
+    # engine-primitive path (operators/scd.scd_merge_into: saveAsTable
+    # init → MERGE INTO de-flag / INSERT OVERWRITE fallback → INSERT
+    # append) — round-6 VERDICT task 6. The oracle expresses the same
+    # two-batch end state declaratively: batch-1 rows keep 'Y' unless
+    # their key (NULL-safely) reappears in batch 2; batch-2 rows are
+    # all current. Any divergence in the mutation path — a dropped
+    # de-flag, a NULL key matched with plain equality, a lost row in
+    # the overwrite — breaks the hash.
+    oracle="""
+    WITH b1 AS (
+      SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order_date,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_custkey % 3 = 0 AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY o_custkey
+      UNION ALL
+      SELECT NULL, TIMESTAMP '1990-01-01 00:00:00', CAST(0 AS BIGINT)
+    ), b2 AS (
+      SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order_date,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_custkey % 2 = 0 AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY o_custkey
+      UNION ALL
+      SELECT NULL, TIMESTAMP '1991-01-01 00:00:00', CAST(1 AS BIGINT)
+    )
+    SELECT b1.custkey, b1.last_order_date, b1.n_orders,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM b2 WHERE b2.custkey IS NOT DISTINCT FROM b1.custkey
+           ) THEN NULL ELSE 'Y' END AS current_ind
+    FROM b1
+    UNION ALL
+    SELECT custkey, last_order_date, n_orders, 'Y' AS current_ind FROM b2
+    """,
+    tags=("scd", "mutation", "protocol"),
+)
+def scd_current_flag_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SCD current-flag protocol (K5+K3,
+    src/gcp_processes.py:29-47 + src/process_files.py:50) executed FOR
+    REAL against a catalog table: batch 1 (early-window per-customer
+    order aggregates, keys ≡ 0 mod 3, plus a NULL-key row) initializes
+    the table flagged 'Y'; batch 2 (late-window aggregates, keys ≡ 0
+    mod 2, plus a NULL-key row) is applied through ``scd_merge_into`` —
+    MERGE INTO on a v2 catalog, the identical-end-state INSERT OVERWRITE
+    on the v1 catalog this container ships — and the FINAL table (both
+    current and de-flagged rows) is returned. The table name is
+    per-call unique and dropped in a ``finally``, so the query is
+    side-effect-free and replayable; the result is eagerly checkpointed
+    first so it survives the drop. The NULL-key rows pin the null-safe
+    (``<=>``) match: plain equality would leave two current rows for
+    the NULL key. At 100 TB the mutation cost is batch-key-sized (the
+    MERGE source is DISTINCT keys), not table-sized."""
+    import uuid as _uuid
+
+    from ..operators.scd import scd_merge_into
+
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit("1995-01-01 00:00:00").cast("timestamp")
+
+    def _batch(mod: int, early: bool, null_ts: str, null_n: int) -> DataFrame:
+        pred = (F.col("o_custkey") % mod == 0) & (
+            (F.col("o_orderdate") < cutoff) if early else (F.col("o_orderdate") >= cutoff)
+        )
+        agg = (
+            orders.filter(pred)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.max("o_orderdate").alias("last_order_date"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+        null_row = spark.range(1).select(
+            F.lit(None).cast("bigint").alias("custkey"),
+            F.lit(null_ts).cast("timestamp").alias("last_order_date"),
+            F.lit(null_n).cast("bigint").alias("n_orders"),
+        )
+        return agg.unionByName(null_row)
+
+    b1 = _batch(3, True, "1990-01-01 00:00:00", 0)
+    b2 = _batch(2, False, "1991-01-01 00:00:00", 1)
+    tbl = f"scd_protocol_tmp_{_uuid.uuid4().hex}"
+    try:
+        scd_merge_into(spark, tbl, b1, key="custkey", flag_col="current_ind")
+        scd_merge_into(spark, tbl, b2, key="custkey", flag_col="current_ind")
+        return (
+            spark.table(tbl)
+            .select("custkey", "last_order_date", "n_orders", "current_ind")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+
+
 # ----------------------------------------------------------------------------
 # Update-merge (reference J3, src/process_files.py:15-31): the iterrows
 # state-update loop collapsed to one left join + coalesce.

@@ -245,6 +245,86 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_auto_planes_volume",
+    # Driver-checks operators/similarity.auto_planes — the fix for the
+    # measured fixed-plane quadratic term (×16 candidate pairs per ×4
+    # data at ×1024, SCALE.md round 6). The plane count b is a
+    # deterministic function of COUNT(*), so both engines compute it;
+    # the oracle reproduces "bucket with b planes" WITHOUT knowing b at
+    # SQL-generation time by masking a 30-bit signature to its low b
+    # bits — valid because _hyperplane(seed, p, i) is independent of
+    # the total plane count, so plane p contributes bit p in any b ≥ p.
+    # Occupancy/volume stats (Σ c·(c−1)/2), not the pairs themselves,
+    # keep the oracle linear-cost at any factor.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ), p AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             GREATEST(8, LEAST(30,
+               CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / 1.0))) AS INT)
+             )) AS planes
+      FROM corpus
+    ), sig AS (
+      SELECT {_bucket_sql("embedding", n_planes=30)} AS sig30 FROM corpus
+    ), bucketed AS (
+      SELECT sig.sig30 % (CAST(1 AS BIGINT) << p.planes) AS bucket FROM sig, p
+    ), hist AS (
+      SELECT bucket, COUNT(*) AS c FROM bucketed GROUP BY bucket
+    )
+    SELECT (SELECT n_rows FROM p) AS n_rows,
+           (SELECT CAST(planes AS BIGINT) FROM p) AS planes,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_occupancy,
+           CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS candidate_pairs
+    FROM hist
+    """,
+    tags=("similarity", "lsh", "scale"),
+)
+def lsh_auto_planes_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scaled LSH bucketing audit: size the plane count with
+    ``auto_planes`` (b = ⌈log₂(n/occupancy)⌉, the production path for
+    corpus-sized calls — occupancy 1 here so driver-scale corpora
+    already exercise the log branch, not just the min-planes clamp),
+    bucket every vector, and report the bucket-occupancy histogram
+    rolled up to one row: vector count, chosen plane count, bucket
+    count, max occupancy, and the exact candidate-pair volume
+    Σ c·(c−1)/2 the within-bucket join would produce. Shifted exact
+    copies of every 20th vector are unioned in (same construction as
+    ``embedding_near_dup_lsh``) so true collisions — and therefore the
+    volume — are non-trivially positive at every SF: identical vectors
+    share all sign bits at any b. At 100 TB this single-scan histogram
+    is the cheap pre-flight that proves the candidate join is linear
+    BEFORE paying for it; the driver hash pins auto_planes' arithmetic
+    against an independent engine."""
+    from ..catalog import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"), spark
+    )
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups).localCheckpoint(eager=False)
+    n = corpus.count()
+    b = SIM.auto_planes(n, target_occupancy=1)
+    hist = (
+        SIM.lsh_bucket(corpus, "embedding", dim=_ND_DIM, n_planes=b, seed=_ND_SEED)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return hist.agg(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(b).cast("bigint").alias("planes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_occupancy"),
+        F.expr("sum(c * (c - 1)) div 2").cast("bigint").alias("candidate_pairs"),
+    )
+
+
+@query(
     "embedding_ivf_topk",
     oracle=None,  # probe membership is argmin-of-float — deterministic in
     # Spark but not portably reproducible in SQL at the boundary; pytest
