@@ -85,16 +85,53 @@ def parse_task_metrics(log_files: list[str]) -> dict:
     }
 
 
+def _cross_modal_lsh_auto(spark, corpus_dir: str):
+    """The cross_modal embedding channel in its PRODUCTION form: the
+    same seeded corpus and edge builder the flagship query uses
+    (plans/crossmodal_queries.seeded_corpus / lsh_cosine_edges —
+    imported, not reimplemented), with the plane count sized by
+    operators/similarity.auto_planes instead of the oracled query's
+    contract-frozen 12 planes. The ×1024/8 GiB OOM row in SCALE.md is
+    the FIXED-plane form of exactly this channel; this runner measures
+    whether auto_planes turns that OOM into a completion."""
+    from webscrap_datapipeline_spark.operators.similarity import auto_planes
+    from webscrap_datapipeline_spark.plans.crossmodal_queries import (
+        lsh_cosine_edges,
+        seeded_corpus,
+    )
+
+    corpus = seeded_corpus(spark, corpus_dir)
+    n = corpus.count()
+    b = auto_planes(n)
+    print(json.dumps({"corpus_rows": n, "auto_planes": b}), flush=True)
+    return lsh_cosine_edges(corpus, b)
+
+
+# Non-registry probe plans: production forms of shipped channels whose
+# oracled queries freeze a knob the production path scales (the bucket
+# expression is driver-checked semantics, so the registry entry can't
+# carry auto_planes itself — lsh_auto_planes_volume driver-checks the
+# plane arithmetic, this runs the actual channel under memory pressure).
+CHANNELS = {"cross_modal_lsh_auto": _cross_modal_lsh_auto}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--query", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="a registered registry query name")
+    g.add_argument(
+        "--channel",
+        choices=sorted(CHANNELS),
+        help="a production-form channel of a shipped query (see CHANNELS)",
+    )
     ap.add_argument("--corpus", default="/tmp/scaled_parity/x64")
     ap.add_argument("--eventlog-dir", default="/tmp/spill_eventlog")
     args = ap.parse_args()
 
     os.makedirs(args.eventlog_dir, exist_ok=True)
+    name = args.query or args.channel
     spark = get_spark(
-        app_name=f"spill-probe-{args.query}",
+        app_name=f"spill-probe-{name}",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": "file:" + args.eventlog_dir,
@@ -107,7 +144,10 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     heap = spark.sparkContext.getConf().get("spark.driver.memory")
     t0 = time.monotonic()
-    df = REGISTRY[args.query].fn(spark, args.corpus)
+    if args.query:
+        df = REGISTRY[args.query].fn(spark, args.corpus)
+    else:
+        df = CHANNELS[args.channel](spark, args.corpus)
     rows = df.count()
     sec = round(time.monotonic() - t0, 1)
     spark.stop()
@@ -136,7 +176,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "query": args.query,
+                "query": name,
                 "corpus": args.corpus,
                 "driver_memory": heap,
                 "sec": sec,

@@ -280,3 +280,75 @@ def test_split_leakage_audits_detect_planted_leaks(spark, tmp_path):
     }
     assert sh["en"]["n_test_docs"] == 4  # shingle-less doc 76 still counted
     assert sh["en"]["leaky_test_docs"] == 2  # exact copy + shingle-sharer
+
+
+# --- SimHash multi-band mitigation (round-7) --------------------------------
+
+
+def test_simhash_auto_band_scheme_arithmetic():
+    """k grows with the corpus until expected occupancy <= target;
+    pigeonhole constraint bands = tol + k holds at every pick."""
+    from webscrap_datapipeline_spark.operators.dedup import simhash_auto_band_scheme
+
+    # small corpus: single-band is fine (n/2^7 <= 128 for n <= 16384)
+    assert simhash_auto_band_scheme(500) == (1, 9, 7)
+    assert simhash_auto_band_scheme(16_384) == (1, 9, 7)
+    # ~x64 replicated corpus (320k docs): k=2 (10 bands x 6 bits)
+    assert simhash_auto_band_scheme(320_000) == (2, 10, 6)
+    # ~2M docs: k=3 (11 bands x 5 bits; occupancy 2M/2^15 = 64)
+    assert simhash_auto_band_scheme(2_100_000) == (3, 11, 5)
+    # ~x1024 documents (5.12M): k=3 occupancy is 156 > 128, so k=4
+    assert simhash_auto_band_scheme(5_120_000) == (4, 12, 5)
+    # max_k caps the combinatorial key cost
+    assert simhash_auto_band_scheme(10**12)[0] == 4
+    k, bands, width = simhash_auto_band_scheme(5_120_000, hamming_tol=4)
+    assert bands == 4 + k and width == 63 // bands
+    with pytest.raises(ValueError):
+        simhash_auto_band_scheme(100, hamming_tol=63)
+
+
+def test_simhash_multi_band_pairs_equal_single_band(spark):
+    """Composite k-of-bands keys must find EXACTLY the single-band
+    candidate set after the hamming <= tol rescore (generalized
+    pigeonhole: <= tol flips leave >= k of tol+k bands untouched, so
+    some k-combination key matches) — recall is a theorem, not a knob;
+    only the candidate-join volume changes (2**(width*(k-1)) more
+    buckets; measured in SCALE.md's round-7 band-volume table)."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.dedup import (
+        simhash,
+        simhash_bit_band_keys,
+        simhash_near_dup_pairs_multi,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL).filter(F.col("doc_id") < 300)
+    sh = simhash(docs, "text", "doc_id").localCheckpoint()
+    single = simhash_bit_band_keys(sh)
+    a, b = single.alias("a"), single.alias("b")
+    base = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= 8)
+            .distinct()
+        ).collect()
+    }
+    assert base, "corpus slice must contain near-dup pairs for the test to bind"
+    for k in (2, 3):
+        multi = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs_multi(sh, hamming_tol=8, k=k).collect()
+        }
+        assert multi == base

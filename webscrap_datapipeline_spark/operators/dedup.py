@@ -180,36 +180,166 @@ def jaccard_pairs(
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFrame:
     """63-bit SimHash per document (bit b set iff the frequency-weighted
-    sum of word-hash bit b signs is positive). Pure explode + aggregate:
+    sum of word-hash bit b signs is positive). One wide aggregate:
 
-        tokens → md5-word-hash → ×63 bit rows → groupBy(doc) Σ sign → pack
+        tokens → md5-word-hash → groupBy(doc) with ``bits`` conditional
+        Σ-sign buffers → pack
 
-    Map-side partial aggregation keeps the shuffle at |docs|×63 rows.
-    ``bits`` ≤ 63 so the packed value fits a signed BIGINT on every
-    engine (DuckDB has no UINT64 arithmetic in its BIGINT lane).
+    Round 7 replaced the earlier ×63 bit-row explode with per-bit
+    conditional sums in a single pass: the sign of bit b is a codegen
+    expression over the token's hash, so materializing tokens×63
+    intermediate rows (13B at the ×1024 corpus) bought nothing — the
+    wide form evaluates the same expressions without the row blow-up
+    and shuffles ONE row per doc (same bytes, 63× fewer rows). Output
+    is bit-identical (same hash, same signs, same > 0 rule; the DuckDB
+    oracles re-verify exact signatures). ``bits`` ≤ 63 so the packed
+    value fits a signed BIGINT on every engine (DuckDB has no UINT64
+    arithmetic in its BIGINT lane).
     """
     from ..functions.text import word_hash64
 
     words = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w"))
     hashed = words.select("doc", word_hash64(F.col("w")).alias("h"))
-    bitrows = hashed.select(
-        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    ).select(
-        "doc",
-        "bit",
-        F.when(F.expr("(shiftright(h, bit) % 2) = 1"), F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
-    )
-    return (
-        bitrows.groupBy("doc", "bit")
-        .agg(F.sum("sgn").alias("s"))
-        .groupBy("doc")
-        .agg(
+    sums = hashed.groupBy("doc").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("simhash")
+                F.when(F.expr(f"(shiftright(h, {b}) % 2) = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for b in range(bits):
+        packed = packed + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+    return sums.select("doc", packed.cast("bigint").alias("simhash"))
+
+
+def simhash_bit_band_keys(
+    sh: DataFrame, bands: int = 9, width: int = 7
+) -> DataFrame:
+    """(doc, simhash, band_idx, band_val) rows: the Hamming-space LSH
+    index. Pigeonhole recall: d ≤ bands−1 bit flips leave ≥1 band
+    untouched, so band-equality buckets are exhaustive at the
+    threshold. Shared by plans/text_queries.simhash_near_dup_pairs and
+    scripts/simhash_band_probe.py so the measured bucket volumes are
+    the shipped query's volumes, not a reimplementation's.
+
+    Scale caveat (measured, SCALE.md round 7): a band value has only
+    2**width buckets, so per-band occupancy is n/2**width and the
+    candidate-pair volume grows QUADRATICALLY in the corpus with a
+    1/2**width constant — width is Hamming-tolerance semantics (63
+    bits / 9 bands fixes width 7 at d ≤ 8), so unlike hyperplane LSH
+    the fix is NOT more bits per band; use
+    ``simhash_multi_band_keys`` (k-of-bands composite keys) for
+    corpus-sized candidate mining."""
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), width * i)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        for i in range(bands)
+    ]
+    return sh.select(
+        "doc", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "simhash", "bb.band_idx", "bb.band_val")
+
+
+def simhash_auto_band_scheme(
+    n_rows: int,
+    hamming_tol: int = 8,
+    bits: int = 63,
+    target_occupancy: int = 128,
+    max_k: int = 4,
+) -> tuple[int, int, int]:
+    """(k, bands, width) for ``simhash_multi_band_keys`` scaled to the
+    corpus: the smallest k (bands-per-composite-key) whose expected
+    bucket occupancy n / 2**(width·k) is ≤ ``target_occupancy``, where
+    bands = hamming_tol + k and width = bits // bands.
+
+    The SimHash sibling of ``similarity.auto_planes``: single-band
+    buckets (k=1) have only 2**width values, so their candidate volume
+    carries an n²/2**width term; each +1 on k multiplies the bucket
+    space by ~2**width at the cost of C(bands, k) emitted keys per doc
+    (combinatorial — hence ``max_k``), while the pigeonhole guarantee
+    (d ≤ hamming_tol flips touch ≤ hamming_tol bands, leaving ≥ k
+    untouched, so some k-combination matches) holds at every k."""
+    if bits // (hamming_tol + 1) < 1:
+        raise ValueError(f"hamming_tol={hamming_tol} needs more than {bits} bits")
+    k = 1
+    while (
+        k < max_k
+        and bits // (hamming_tol + k + 1) >= 1
+        and n_rows / 2.0 ** ((bits // (hamming_tol + k)) * k) > target_occupancy
+    ):
+        k += 1
+    bands = hamming_tol + k
+    return k, bands, bits // bands
+
+
+def simhash_multi_band_keys(
+    sh: DataFrame, hamming_tol: int = 8, k: int = 2, bits: int = 63
+) -> DataFrame:
+    """(doc, simhash, key_idx, key_val) composite-key index: one row per
+    k-combination of the hamming_tol+k bands, key_val the packed band
+    values. Generalized pigeonhole: d ≤ hamming_tol flips touch at most
+    hamming_tol of the bands, leaving ≥ k untouched — so every true
+    pair at the threshold shares at least one composite key, and
+    recall stays perfect while bucket occupancy drops from n/2**width
+    to n/2**(width·k). Key cost: C(hamming_tol+k, k) rows per doc
+    (45 at k=2/d=8, 165 at k=3) — linear in the corpus, the price of
+    taking the quadratic term's constant down by ~2**(width·(k−1)).
+    Flips in the bits // bands remainder (63 − bands·width unbanded
+    bits) only LOWER the in-band flip count, so the guarantee is
+    unaffected; the exact popcount rescore uses all 63 bits."""
+    from itertools import combinations
+
+    bands = hamming_tol + k
+    width = bits // bands
+    if width < 1:
+        raise ValueError(f"hamming_tol={hamming_tol}, k={k}: bands exceed {bits} bits")
+
+    def band_val(i: int):
+        return F.shiftright(F.col("simhash"), width * i).bitwiseAND(F.lit((1 << width) - 1))
+
+    structs = []
+    for idx, combo in enumerate(combinations(range(bands), k)):
+        packed = F.lit(0).cast("bigint")
+        for j, bi in enumerate(combo):
+            packed = packed + F.shiftleft(band_val(bi).cast("bigint"), width * j)
+        structs.append(F.struct(F.lit(idx).alias("key_idx"), packed.alias("key_val")))
+    return sh.select(
+        "doc", "simhash", F.explode(F.array(*structs)).alias("kk")
+    ).select("doc", "simhash", "kk.key_idx", "kk.key_val")
+
+
+def simhash_near_dup_pairs_multi(
+    sh: DataFrame, hamming_tol: int = 8, k: int = 2, bits: int = 63
+) -> DataFrame:
+    """Corpus-sized SimHash near-dup mining: composite-key candidates
+    (``simhash_multi_band_keys``) → exact popcount(xor) ≤ tol rescore →
+    distinct pairs. Same output as single-band mining at the same
+    tolerance (pytest pins the equality) with the candidate join volume
+    divided by ~2**(width·(k−1))."""
+    keys = simhash_multi_band_keys(sh, hamming_tol, k, bits)
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.key_idx") == F.col("b.key_idx"))
+            & (F.col("a.key_val") == F.col("b.key_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_tol)
+        .distinct()
     )
 
 

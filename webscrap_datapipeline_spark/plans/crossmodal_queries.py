@@ -36,6 +36,66 @@ from .text_queries import _SHINGLE_CAP, _TOKENS
 from .vector_queries import _COS, _ND_DIM, _ND_PLANES, _ND_SEED, _bucket_sql
 
 
+def seeded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modal test corpus: docs 1:1 with embeddings plus the two
+    planted-duplicate families (text-only evidence: same text, negated
+    embedding; embedding-only evidence: same embedding, rewritten text).
+    Extracted so scripts/spill_probe.py's channel mode builds the SAME
+    corpus the flagship query mines — a reimplementation that drifted
+    would measure a different workload (the count_volume lesson,
+    round-6 review)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = ensure_min_parallelism(
+        docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+            "doc_id", "lang", "text", "embedding"
+        ),
+        spark,
+    )
+    text_copies = base.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "text",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    vec_copies = base.filter(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "lang",
+        F.concat(F.lit("rewrite "), F.col("doc_id").cast("string")).alias("text"),
+        "embedding",
+    )
+    # three consumers (text mine, vector mine, survivor agg) — one lazy
+    # localCheckpoint materializes the seeded corpus once on first use
+    return (
+        base.unionByName(text_copies)
+        .unionByName(vec_copies)
+        .localCheckpoint(eager=False)
+    )
+
+
+def lsh_cosine_edges(corpus: DataFrame, n_planes: int) -> DataFrame:
+    """The embedding channel: hyperplane-bucket, within-bucket equi-join,
+    exact-cosine >= 0.9 filter. The oracled query passes the
+    contract-frozen ``_ND_PLANES``; the production path passes
+    ``SIM.auto_planes(corpus_count)`` — same code, one knob, so the
+    spill probe exercises exactly the shipped channel."""
+    b = SIM.lsh_bucket(
+        corpus.select("doc_id", "embedding"),
+        "embedding",
+        dim=_ND_DIM,
+        n_planes=n_planes,
+        seed=_ND_SEED,
+    )
+    left = b.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"), "bucket")
+    right = b.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        left.join(right, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "cross_modal_curation_stats",
     oracle=f"""
@@ -123,33 +183,7 @@ def cross_modal_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.components import dedup_survivors
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    base = ensure_min_parallelism(
-        docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
-            "doc_id", "lang", "text", "embedding"
-        ),
-        spark,
-    )
-    text_copies = base.filter(F.col("doc_id") % 15 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        "lang",
-        "text",
-        F.transform("embedding", lambda x: -x).alias("embedding"),
-    )
-    vec_copies = base.filter(F.col("doc_id") % 12 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        "lang",
-        F.concat(F.lit("rewrite "), F.col("doc_id").cast("string")).alias("text"),
-        "embedding",
-    )
-    # three consumers (text mine, vector mine, survivor agg) — one lazy
-    # localCheckpoint materializes the seeded corpus once on first use
-    corpus = (
-        base.unionByName(text_copies)
-        .unionByName(vec_copies)
-        .localCheckpoint(eager=False)
-    )
+    corpus = seeded_corpus(spark, sf_dir)
 
     tedges = (
         DD.jaccard_pairs(corpus, "text", "doc_id", n=3, max_shingle_freq=_SHINGLE_CAP)
@@ -157,21 +191,7 @@ def cross_modal_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    b = SIM.lsh_bucket(
-        corpus.select("doc_id", "embedding"),
-        "embedding",
-        dim=_ND_DIM,
-        n_planes=_ND_PLANES,
-        seed=_ND_SEED,
-    )
-    left = b.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"), "bucket")
-    right = b.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"), "bucket")
-    vedges = (
-        left.join(right, ["bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.9)
-        .select("doc_a", "doc_b")
-    )
+    vedges = lsh_cosine_edges(corpus, _ND_PLANES)
 
     edges = tedges.unionByName(vedges)
     survivors = dedup_survivors(corpus, edges, "doc_id", "doc_a", "doc_b")

@@ -128,6 +128,21 @@ _PINNED_FIRST: dict[str, int] = {
     # corpus_novelty_curve, minhash_estimate_calibration — landed green
     # rows in CORRECTNESS_r06 and retired. Repopulate whenever a shipped
     # plan/oracle changes.)
+    #
+    # round 7: plan-construction refactor — the seeded corpus and the
+    # LSH edge channel extracted into seeded_corpus()/lsh_cosine_edges()
+    # so the spill probe's production-form channel imports the shipped
+    # code instead of reimplementing it. Intended plan-identical, but
+    # the committed code path changed; re-verify under the driver.
+    "cross_modal_curation_stats": 7,
+    # round 7: operators/dedup.simhash rewritten from the ×63 bit-row
+    # explode to one wide conditional-sum aggregate (bit-identical
+    # output, 63× fewer materialized rows — required to compute ×1024
+    # signatures for the band-volume probe); banding extracted into
+    # simhash_bit_band_keys shared with the probe. Both consumers need
+    # fresh driver rows.
+    "simhash_documents": 7,
+    "simhash_near_dup_pairs": 7,
 }
 
 

@@ -785,18 +785,9 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hamming arithmetic."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
     sh = DD.simhash(docs, "text", "doc_id")  # (doc, simhash)
-    banded = sh.select(
-        "doc",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 7 * i).bitwiseAND(F.lit(127))
-                    for i in range(9)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
+    # shared with scripts/simhash_band_probe.py so the measured bucket
+    # volumes are THIS query's banding, not a reimplementation's
+    banded = DD.simhash_bit_band_keys(sh, bands=9, width=7)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
