@@ -294,7 +294,17 @@ def simhash_multi_band_keys(
     taking the quadratic term's constant down by ~2**(width·(k−1)).
     Flips in the bits // bands remainder (63 − bands·width unbanded
     bits) only LOWER the in-band flip count, so the guarantee is
-    unaffected; the exact popcount rescore uses all 63 bits."""
+    unaffected; the exact popcount rescore uses all 63 bits.
+
+    Plan shape: the C(bands, k) combinations are a BROADCAST relation
+    (key_idx, combo array) joined against the signatures, with key_val
+    assembled by k literal-position element_at lookups into a
+    once-per-doc band-value array — NOT a literal array of C(bands, k)
+    inline structs: at k=4 that array is 495 packed-sum expressions in
+    one Generate operator, which exceeds janino's method limits
+    (InternalCompilerException, measured at the ×1024 probe) and drops
+    the whole stage to interpreted evaluation. The join form keeps
+    every expression small and codegen-compiled at any k."""
     from itertools import combinations
 
     bands = hamming_tol + k
@@ -302,18 +312,28 @@ def simhash_multi_band_keys(
     if width < 1:
         raise ValueError(f"hamming_tol={hamming_tol}, k={k}: bands exceed {bits} bits")
 
-    def band_val(i: int):
-        return F.shiftright(F.col("simhash"), width * i).bitwiseAND(F.lit((1 << width) - 1))
-
-    structs = []
-    for idx, combo in enumerate(combinations(range(bands), k)):
-        packed = F.lit(0).cast("bigint")
-        for j, bi in enumerate(combo):
-            packed = packed + F.shiftleft(band_val(bi).cast("bigint"), width * j)
-        structs.append(F.struct(F.lit(idx).alias("key_idx"), packed.alias("key_val")))
-    return sh.select(
-        "doc", "simhash", F.explode(F.array(*structs)).alias("kk")
-    ).select("doc", "simhash", "kk.key_idx", "kk.key_val")
+    combos_df = sh.sparkSession.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(combinations(range(bands), k))],
+        "key_idx int, combo array<int>",
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), width * i)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("bigint")
+            for i in range(bands)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for j in range(k):
+        # combo holds 0-based band indices; element_at is 1-based
+        bv = F.element_at(F.col("__bvals"), F.element_at(F.col("combo"), j + 1) + 1)
+        packed = packed + bv * F.lit(1 << (width * j)).cast("bigint")
+    return (
+        sh.withColumn("__bvals", band_vals)
+        .crossJoin(F.broadcast(combos_df))
+        .select("doc", "simhash", "key_idx", packed.alias("key_val"))
+    )
 
 
 def simhash_near_dup_pairs_multi(
