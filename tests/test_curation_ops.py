@@ -352,3 +352,19 @@ def test_simhash_multi_band_pairs_equal_single_band(spark):
             for r in simhash_near_dup_pairs_multi(sh, hamming_tol=8, k=k).collect()
         }
         assert multi == base
+
+
+def test_simhash_wide_and_exploded_forms_identical(spark):
+    """The two plan shapes of dedup.simhash (wide conditional-sum
+    aggregate for corpora; bit-row explode for tiny slices, where the
+    wide form's codegen-compile constant dominates) must be
+    bit-identical — the oracled queries check the explode form against
+    DuckDB, so this equality is what extends that proof to the wide
+    corpus path."""
+    from webscrap_datapipeline_spark.catalog import load_table
+    from webscrap_datapipeline_spark.operators.dedup import simhash
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    wide = {(r["doc"], r["simhash"]) for r in simhash(docs, "text", "doc_id", wide=True).collect()}
+    narrow = {(r["doc"], r["simhash"]) for r in simhash(docs, "text", "doc_id", wide=False).collect()}
+    assert wide == narrow and len(wide) == docs.count()

@@ -123,3 +123,15 @@ def test_parse_task_metrics_empty_log_reports_zero_tasks(tmp_path):
     log = tmp_path / "events"
     log.write_text(json.dumps({"Event": "SparkListenerJobStart"}) + "\n")
     assert parse_task_metrics([str(log)])["tasks"] == 0
+
+
+def test_simhash_probe_refuses_unsentineled_corpus(tmp_path):
+    # signatures_for must refuse before touching Spark (spark=None proves
+    # the check precedes any engine work) — a truncated corpus would
+    # otherwise feed a silently-wrong volume into SCALE.md's band table.
+    import pytest as _pytest
+
+    from scripts.simhash_band_probe import signatures_for
+
+    with _pytest.raises(SystemExit, match="_CORPUS_COMPLETE"):
+        signatures_for(None, str(tmp_path), str(tmp_path), "x1")

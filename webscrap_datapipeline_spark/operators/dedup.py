@@ -178,28 +178,58 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 63, wide: bool = True
+) -> DataFrame:
     """63-bit SimHash per document (bit b set iff the frequency-weighted
-    sum of word-hash bit b signs is positive). One wide aggregate:
+    sum of word-hash bit b signs is positive). Two plan shapes, SAME
+    output bit-for-bit (pytest pins their equality; the DuckDB oracles
+    re-verify exact signatures):
 
-        tokens → md5-word-hash → groupBy(doc) with ``bits`` conditional
-        Σ-sign buffers → pack
+    ``wide=True`` (default — the corpus path): one aggregate with
+    ``bits`` conditional Σ-sign buffers. The sign of bit b is a codegen
+    expression over the token's hash, so it never materializes
+    tokens×63 intermediate rows (≈ 40B at the ×1024 corpus) and
+    shuffles ONE row per doc — measured 2.3× faster than the explode
+    form under real writes at ×64, and the only form that completes
+    the ×1024 band-volume probe in sane time. Its cost is a ~0.7 s
+    CONSTANT: janino compiling the 63-buffer generated aggregate class
+    — negligible at corpus scale, dominant on a 100-doc slice.
 
-    Round 7 replaced the earlier ×63 bit-row explode with per-bit
-    conditional sums in a single pass: the sign of bit b is a codegen
-    expression over the token's hash, so materializing tokens×63
-    intermediate rows (13B at the ×1024 corpus) bought nothing — the
-    wide form evaluates the same expressions without the row blow-up
-    and shuffles ONE row per doc (same bytes, 63× fewer rows). Output
-    is bit-identical (same hash, same signs, same > 0 rule; the DuckDB
-    oracles re-verify exact signatures). ``bits`` ≤ 63 so the packed
-    value fits a signed BIGINT on every engine (DuckDB has no UINT64
-    arithmetic in its BIGINT lane).
+    ``wide=False`` (the tiny-input path): the ×63 bit-row explode with
+    map-side combine — trivial codegen, no compile constant, right for
+    the oracled 100-doc queries where the wide form's compile time is
+    4× the whole query (measured 0.21 → 0.92 s at sf0.1).
+
+    ``bits`` ≤ 63 so the packed value fits a signed BIGINT on every
+    engine (DuckDB has no UINT64 arithmetic in its BIGINT lane).
     """
     from ..functions.text import word_hash64
 
     words = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w"))
     hashed = words.select("doc", word_hash64(F.col("w")).alias("h"))
+    if not wide:
+        bitrows = hashed.select(
+            "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+        ).select(
+            "doc",
+            "bit",
+            F.when(F.expr("(shiftright(h, bit) % 2) = 1"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        return (
+            bitrows.groupBy("doc", "bit")
+            .agg(F.sum("sgn").alias("s"))
+            .groupBy("doc")
+            .agg(
+                F.sum(
+                    F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("simhash")
+            )
+        )
     sums = hashed.groupBy("doc").agg(
         *[
             F.sum(

@@ -327,7 +327,9 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document (first 100 docs) — frequency-weighted
     bit votes from md5 word hashes; explode+aggregate, fully JVM-side."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
-    return DD.simhash(docs, "text", "doc_id")
+    # wide=False: on a 100-doc slice the wide form's ~0.7 s codegen
+    # compile constant is 4× the whole query (bench r7); identical output
+    return DD.simhash(docs, "text", "doc_id", wide=False)
 
 
 @query(
@@ -784,7 +786,8 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding's recall (pigeonhole: it must be perfect at d <= 8) and
     the hamming arithmetic."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
-    sh = DD.simhash(docs, "text", "doc_id")  # (doc, simhash)
+    # wide=False: tiny slice, compile-constant-dominated (see simhash_documents)
+    sh = DD.simhash(docs, "text", "doc_id", wide=False)  # (doc, simhash)
     # shared with scripts/simhash_band_probe.py so the measured bucket
     # volumes are THIS query's banding, not a reimplementation's
     banded = DD.simhash_bit_band_keys(sh, bands=9, width=7)
