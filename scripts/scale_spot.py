@@ -144,7 +144,7 @@ def build_corpus(spark: SparkSession, factor: int, out_dir: str) -> None:
 
 
 def corpus_reuse_decision(
-    corpus_dir: str, stamp: dict, default_src: str = "/root/testdata/sf0.1"
+    corpus_dir: str, stamp: dict
 ) -> tuple[bool, str]:
     """(reuse, reason) for a possibly-kept corpus dir. The sentinel
     payload records WHAT the corpus was built from — reusing a kept

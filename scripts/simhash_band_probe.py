@@ -57,19 +57,37 @@ def signatures_for(spark: SparkSession, corpus: str, cache_dir: str, tag: str) -
     """Cached (doc, simhash) signatures for a corpus' documents table.
     Refuses a corpus without its completeness sentinel (a truncated
     build would poison the volume table — same rule as
-    scale_derive.count_volume); the cache is trusted only with its own
-    _SUCCESS marker."""
+    scale_derive.count_volume). The cache is trusted only when BOTH its
+    own _SUCCESS marker and a provenance stamp matching the corpus are
+    present: the stamp records the corpus path and the corpus
+    sentinel's payload, so a rebuilt corpus (e.g. a BUILD_REV bump) or
+    a --corpora retarget invalidates the cache instead of silently
+    measuring the OLD corpus's signatures — the exact mixing hazard
+    the rev-stamped sentinels exist to prevent (round-7 review)."""
     from webscrap_datapipeline_spark.operators.dedup import simhash
 
-    if not os.path.isfile(os.path.join(corpus, "_CORPUS_COMPLETE")):
+    sentinel_path = os.path.join(corpus, "_CORPUS_COMPLETE")
+    if not os.path.isfile(sentinel_path):
         raise SystemExit(
             f"{corpus} has no _CORPUS_COMPLETE sentinel — refusing to measure "
             "band volumes on a possibly-truncated corpus."
         )
+    with open(sentinel_path) as fh:
+        provenance = {"corpus": os.path.abspath(corpus), "sentinel": fh.read().strip()}
     path = os.path.join(cache_dir, f"{tag}_sigs.parquet")
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+    stamp_path = os.path.join(cache_dir, f"{tag}_sigs.provenance.json")
+    cached = None
+    if os.path.isfile(stamp_path):
+        try:
+            with open(stamp_path) as fh:
+                cached = json.load(fh)
+        except ValueError:
+            cached = None
+    if not (os.path.isfile(os.path.join(path, "_SUCCESS")) and cached == provenance):
         docs = spark.read.parquet(os.path.join(corpus, "documents.parquet"))
         simhash(docs, "text", "doc_id").write.mode("overwrite").parquet(path)
+        with open(stamp_path, "w") as fh:
+            json.dump(provenance, fh)
     return spark.read.parquet(path)
 
 
@@ -98,12 +116,26 @@ def main() -> None:
         sh = signatures_for(spark, corpus, args.sig_cache, tag).localCheckpoint(eager=False)
         n = sh.count()
 
+        # the single-band baseline at THIS tolerance (bands = tol+1 is
+        # the pigeonhole minimum, width = what 63 bits afford) — at the
+        # default tol=8 this is exactly the shipped query's 9×7 scheme;
+        # deriving it from the flag keeps the two printed rows
+        # commensurable at any tolerance (round-7 review)
+        base_bands = args.hamming_tol + 1
+        base_width = 63 // base_bands
         base = volume_stats(
-            simhash_bit_band_keys(sh, bands=9, width=7), "band_idx", "band_val"
+            simhash_bit_band_keys(sh, bands=base_bands, width=base_width),
+            "band_idx",
+            "band_val",
         )
         print(
             json.dumps(
-                {"factor": factor, "docs": n, "scheme": "single-band 9x7", **base}
+                {
+                    "factor": factor,
+                    "docs": n,
+                    "scheme": f"single-band {base_bands}x{base_width}",
+                    **base,
+                }
             ),
             flush=True,
         )
