@@ -5,6 +5,8 @@ semantics of the funnel)."""
 
 from __future__ import annotations
 
+import warnings
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -299,8 +301,16 @@ def test_simhash_auto_band_scheme_arithmetic():
     assert simhash_auto_band_scheme(2_100_000) == (3, 11, 5)
     # ~x1024 documents (5.12M): k=3 occupancy is 156 > 128, so k=4
     assert simhash_auto_band_scheme(5_120_000) == (4, 12, 5)
-    # max_k caps the combinatorial key cost
-    assert simhash_auto_band_scheme(10**12)[0] == 4
+    # max_k caps the combinatorial key cost — and the capped case (the
+    # target occupancy NOT met) signals with a RuntimeWarning (round-8
+    # ADVICE: callers like simhash_band_probe can tell the scheme is
+    # best-effort, not occupancy-guaranteed)
+    with pytest.warns(RuntimeWarning, match="cap bound at k=4"):
+        assert simhash_auto_band_scheme(10**12)[0] == 4
+    # every uncapped pick above stays warning-free
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert simhash_auto_band_scheme(5_120_000) == (4, 12, 5)
     k, bands, width = simhash_auto_band_scheme(5_120_000, hamming_tol=4)
     assert bands == 4 + k and width == 63 // bands
     with pytest.raises(ValueError):

@@ -316,6 +316,13 @@ def test_auto_planes_scales_bits_with_corpus():
     assert auto_planes(10) == 8
     assert auto_planes(10**12) <= 30
     assert auto_planes(10**12, max_planes=24) == 24
+    # integer-exact at power-of-two boundaries (round-8 ADVICE: the
+    # ceil(log2(float)) form could round either way within one ulp;
+    # bit_length arithmetic cannot — and the driver oracle replays the
+    # same integer form in SQL)
+    assert auto_planes(128 << 20) == 20  # n/occ exactly 2^20
+    assert auto_planes((128 << 20) + 1) == 21  # one past the boundary
+    assert auto_planes((128 << 20) - 1) == 20
 
 
 def test_multimodal_extract_features_fake_decoder(spark):

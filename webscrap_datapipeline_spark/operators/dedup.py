@@ -27,6 +27,7 @@ never from Spark-internal hash seeds.
 from __future__ import annotations
 
 import hashlib
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -288,7 +289,14 @@ def simhash_auto_band_scheme(
     """(k, bands, width) for ``simhash_multi_band_keys`` scaled to the
     corpus: the smallest k (bands-per-composite-key) whose expected
     bucket occupancy n / 2**(width·k) is ≤ ``target_occupancy``, where
-    bands = hamming_tol + k and width = bits // bands.
+    bands = hamming_tol + k and width = bits // bands — CAPPED at
+    ``max_k`` (and at the largest k whose width is ≥ 1 bit): when the
+    cap binds first, the returned scheme's expected occupancy still
+    exceeds the target (e.g. n=10**12 returns k=4 with occupancy
+    ~9.5e5) and a ``RuntimeWarning`` is emitted so callers such as
+    ``scripts/simhash_band_probe`` can tell the target was not met.
+    The cap is a combinatorial-cost ceiling (C(bands, k) emitted keys
+    per doc), not an occupancy guarantee (round-8 ADVICE).
 
     The SimHash sibling of ``similarity.auto_planes``: single-band
     buckets (k=1) have only 2**width values, so their candidate volume
@@ -296,16 +304,31 @@ def simhash_auto_band_scheme(
     space by ~2**width at the cost of C(bands, k) emitted keys per doc
     (combinatorial — hence ``max_k``), while the pigeonhole guarantee
     (d ≤ hamming_tol flips touch ≤ hamming_tol bands, leaving ≥ k
-    untouched, so some k-combination matches) holds at every k."""
+    untouched, so some k-combination matches) holds at every k.
+
+    The occupancy test is pure integer arithmetic
+    (n > occupancy · 2**(width·k), exact at any n) — the driver oracle
+    replays the same selection in SQL, so no float boundary may differ
+    between engines."""
     if bits // (hamming_tol + 1) < 1:
         raise ValueError(f"hamming_tol={hamming_tol} needs more than {bits} bits")
+
+    def _over_target(k: int) -> bool:
+        width = bits // (hamming_tol + k)
+        return n_rows > target_occupancy << (width * k)
+
     k = 1
-    while (
-        k < max_k
-        and bits // (hamming_tol + k + 1) >= 1
-        and n_rows / 2.0 ** ((bits // (hamming_tol + k)) * k) > target_occupancy
-    ):
+    while k < max_k and bits // (hamming_tol + k + 1) >= 1 and _over_target(k):
         k += 1
+    if _over_target(k):
+        warnings.warn(
+            f"simhash_auto_band_scheme: cap bound at k={k} "
+            f"(max_k={max_k}, bits={bits}) with expected occupancy "
+            f"{n_rows / 2 ** ((bits // (hamming_tol + k)) * k):.3g} "
+            f"> target {target_occupancy}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     bands = hamming_tol + k
     return k, bands, bits // bands
 

@@ -53,8 +53,18 @@ def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
     return out
 
 
+# Clamp bounds for auto_planes. Referenced by the lsh_auto_planes_volume
+# oracle (plans/vector_queries.py) so the SQL replay can never
+# desynchronize from a future default change here (round-8 ADVICE).
+AUTO_PLANES_MIN = 8
+AUTO_PLANES_MAX = 30
+
+
 def auto_planes(
-    n_rows: int, target_occupancy: int = 128, min_planes: int = 8, max_planes: int = 30
+    n_rows: int,
+    target_occupancy: int = 128,
+    min_planes: int = AUTO_PLANES_MIN,
+    max_planes: int = AUTO_PLANES_MAX,
 ) -> int:
     """Signature bits for ``lsh_bucket`` scaled to corpus size: the
     smallest b with n / 2**b <= target_occupancy.
@@ -71,12 +81,19 @@ def auto_planes(
 
     The oracled registry queries keep their FIXED plane counts — the
     bucket expression is part of the driver-checked semantics; this
-    helper is the production path for corpus-sized invocations."""
-    import math
+    helper is the production path for corpus-sized invocations.
 
+    The selection is pure integer arithmetic (ceil-div + bit_length:
+    smallest b with 2**b ≥ ⌈n/occupancy⌉ — equivalent to
+    ⌈log₂(n/occupancy)⌉ since 2**b is an integer) rather than
+    ``math.ceil(math.log2(...))``: a count landing within one ulp of an
+    exact power of two could round to a different b across libm
+    implementations, and the driver oracle recomputes b in an
+    independent engine (round-8 ADVICE)."""
     if n_rows <= 0:
         return min_planes
-    b = math.ceil(math.log2(max(1.0, n_rows / target_occupancy)))
+    m = -(-n_rows // target_occupancy)  # ceil(n / occupancy), exact
+    b = (m - 1).bit_length()  # smallest b with 2**b >= m
     return max(min_planes, min(max_planes, b))
 
 

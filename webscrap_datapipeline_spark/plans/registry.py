@@ -124,25 +124,23 @@ _DEFER_TO_ROUND: dict[str, int] = {}
 # least-recently-verified rotation). Round-6 prune cleared the retired
 # r4/r5 pins; repopulate whenever a shipped plan/oracle changes.
 _PINNED_FIRST: dict[str, int] = {
-    # (Round-7 prune: the three r6 pins — profile_orders,
-    # corpus_novelty_curve, minhash_estimate_calibration — landed green
-    # rows in CORRECTNESS_r06 and retired. Repopulate whenever a shipped
-    # plan/oracle changes.)
+    # (Round-8 prune: the three r7 pins — cross_modal_curation_stats,
+    # simhash_documents, simhash_near_dup_pairs — landed green rows in
+    # CORRECTNESS_r07 and retired. For the record, corrected per round-7
+    # ADVICE: the two simhash consumers were routed through the new
+    # wide/narrow flag and the extracted simhash_bit_band_keys helper
+    # while KEEPING the explode plan (wide=False — the wide 63-buffer
+    # aggregate's ~0.7 s codegen compile constant dominates 100-doc
+    # slices); the wide aggregate serves corpus-scale probe calls.
+    # Repopulate whenever a shipped plan/oracle changes.)
     #
-    # round 7: plan-construction refactor — the seeded corpus and the
-    # LSH edge channel extracted into seeded_corpus()/lsh_cosine_edges()
-    # so the spill probe's production-form channel imports the shipped
-    # code instead of reimplementing it. Intended plan-identical, but
-    # the committed code path changed; re-verify under the driver.
-    "cross_modal_curation_stats": 7,
-    # round 7: operators/dedup.simhash rewritten from the ×63 bit-row
-    # explode to one wide conditional-sum aggregate (bit-identical
-    # output, 63× fewer materialized rows — required to compute ×1024
-    # signatures for the band-volume probe); banding extracted into
-    # simhash_bit_band_keys shared with the probe. Both consumers need
-    # fresh driver rows.
-    "simhash_documents": 7,
-    "simhash_near_dup_pairs": 7,
+    # round 8: auto_planes reworked to integer-exact bit_length
+    # arithmetic and the oracle's CEIL(LOG2(...)) replaced by the same
+    # integer form with clamp constants interpolated from
+    # operators/similarity (round-7 ADVICE — libm boundary / constant
+    # drift). Same values at every reachable n, but both the engine
+    # path and the oracle text changed; re-verify under the driver.
+    "lsh_auto_planes_volume": 8,
 }
 
 

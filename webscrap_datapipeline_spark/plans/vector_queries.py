@@ -261,12 +261,20 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ), cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM corpus
     ), p AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             GREATEST(8, LEAST(30,
-               CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / 1.0))) AS INT)
+      -- integer-exact ⌈log₂(n)⌉ (occupancy 1): smallest b with 2**b ≥ n,
+      -- no libm — matches auto_planes' bit_length form bit-for-bit at
+      -- every n, including exact powers of two (round-8 ADVICE). Clamp
+      -- constants are interpolated from operators/similarity so the
+      -- oracle can never drift from the engine defaults.
+      SELECT n_rows,
+             GREATEST({SIM.AUTO_PLANES_MIN}, LEAST({SIM.AUTO_PLANES_MAX},
+               (SELECT MIN(t.b) FROM range(0, 63) t(b)
+                WHERE (CAST(1 AS BIGINT) << t.b) >= cnt.n_rows)
              )) AS planes
-      FROM corpus
+      FROM cnt
     ), sig AS (
       SELECT {_bucket_sql("embedding", n_planes=30)} AS sig30 FROM corpus
     ), bucketed AS (
