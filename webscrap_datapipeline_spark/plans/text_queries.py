@@ -812,6 +812,114 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand
 
 
+@query(
+    "simhash_multi_band_volume",
+    # Driver-checks operators/dedup.simhash_multi_band_keys (the measured
+    # mitigation for the single-band SimHash quadratic: 1.67T candidate
+    # pairs at ×1024 cut 80.6× — SCALE.md round 7) plus
+    # simhash_auto_band_scheme's selection arithmetic. Two contracts:
+    # the BANDING runs at FIXED k=2 (tol 8 → 10 bands × 6 bits; the
+    # composite-key bit-slice/packing arithmetic is identical at any k,
+    # and a fixed k keeps the oracle's combo enumeration a literal cross
+    # join — same precedent as the fixed plane counts in the LSH
+    # oracles), while chosen_k/chosen_width replay the auto scheme's
+    # integer selection on the FULL corpus count in both engines, so
+    # replicated-scale parity exercises the k=1→2→3 transitions.
+    # Volumes (Σ c·(c−1)/2), never the pairs themselves, keep the oracle
+    # linear-cost at any factor. Scheme constants (tol=8, occ=128,
+    # max_k=4, bits=63) are the engine defaults, frozen here by contract.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc, text
+      FROM documents WHERE doc_id < 400 AND doc_id % 4 = 0
+    ), words AS (
+      SELECT doc, unnest({_TOKENS.format(c="text")}) AS w FROM base
+    ), hashed AS (
+      SELECT doc, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+    ), bitrows AS (
+      SELECT doc, bit,
+             CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM hashed, unnest(range(0, 63)) AS t(bit)
+    ), bitsum AS (
+      SELECT doc, bit, SUM(sgn) AS s FROM bitrows GROUP BY doc, bit
+    ), sh AS (
+      SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc
+    ), keys AS (
+      -- the C(10,2)=45 k=2 composite keys: band i packed low, band j high
+      SELECT doc, i, j,
+             ((simhash >> (6 * i)) & 63)
+               + (((simhash >> (6 * j)) & 63) << 6) AS key_val
+      FROM sh, range(0, 10) a(i), range(0, 10) b(j)
+      WHERE i < j
+    ), hist AS (
+      SELECT i, j, key_val, COUNT(*) AS c FROM keys GROUP BY i, j, key_val
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scheme AS (
+      -- integer replay of simhash_auto_band_scheme: smallest k in
+      -- 1..max_k with n <= occ * 2**(width(k)*k), width(k) = 63 // (8+k);
+      -- COALESCE = the max_k cap (the engine warns there; values agree)
+      SELECT CAST(COALESCE(MIN(CASE
+               WHEN n_docs <= 128 * (CAST(1 AS BIGINT) << ((63 // (8 + k)) * k))
+               THEN k END), 4) AS BIGINT) AS chosen_k
+      FROM range(1, 5) t(k), n
+    )
+    SELECT (SELECT n_docs FROM n) AS corpus_docs,
+           (SELECT chosen_k FROM scheme) AS chosen_k,
+           (SELECT CAST(63 // (8 + chosen_k) AS BIGINT) FROM scheme) AS chosen_width,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(c) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_occupancy,
+           CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS candidate_pairs
+    FROM hist
+    """,
+    tags=("dedup", "simhash", "lsh", "scale"),
+)
+def simhash_multi_band_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale SimHash mining audit: composite k-of-bands keys
+    (``simhash_multi_band_keys``, fixed k=2 by contract) over a 400-doc
+    slice with every 4th doc duplicated under a shifted id (exact dups
+    share all 63 bits, so all 45 composite keys collide — the volume is
+    non-trivially positive at every SF), rolled up to the bucket
+    histogram: bucket count, emitted key count, max occupancy, and the
+    exact candidate-pair volume Σ c·(c−1)/2 the within-bucket join would
+    produce. ``chosen_k``/``chosen_width`` additionally replay
+    ``simhash_auto_band_scheme`` on the FULL documents count in both
+    engines — the production selection rule the ×1024 probe uses (k=4
+    there; SCALE.md round 7's 80.6× volume cut). At 100 TB this
+    single-scan histogram is the pre-flight that proves the candidate
+    join is linear BEFORE paying for it — the SimHash sibling of
+    ``lsh_auto_planes_volume``."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(dups)
+    # wide=False: ~500-doc slice, compile-constant-dominated (see
+    # simhash_documents); the wide aggregate serves corpus-scale probes
+    sh = DD.simhash(corpus, "text", "doc_id", wide=False)
+    hist = (
+        DD.simhash_multi_band_keys(sh, hamming_tol=8, k=2)
+        .groupBy("key_idx", "key_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = docs.count()
+    k, _bands, width = DD.simhash_auto_band_scheme(n_docs)
+    return hist.agg(
+        F.lit(n_docs).cast("bigint").alias("corpus_docs"),
+        F.lit(k).cast("bigint").alias("chosen_k"),
+        F.lit(width).cast("bigint").alias("chosen_width"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_occupancy"),
+        F.expr("sum(c * (c - 1)) div 2").cast("bigint").alias("candidate_pairs"),
+    )
+
+
 # ----------------------------------------------------------------------------
 # Flagship composition: the full training-data curation pipeline in one
 # plan — quality gate → exact dedup → near-dup survivor selection →
