@@ -57,13 +57,25 @@ def main() -> None:
     )
     ap.add_argument(
         "--mode",
-        choices=("python", "jvm"),
+        choices=("python", "jvm", "jvm_once"),
         default="python",
         help="'python' = exact applyInPandasWithState path (full ST1 "
         "semantics, per-group Python dispatch bound); 'jvm' = "
         "detect_changes_stream_monotone — update-mode max() aggregate, "
         "every per-key op in the JVM state store (monotone versions, "
-        "at-least-once emission, no change_kind)",
+        "at-least-once emission, no change_kind); 'jvm_once' = "
+        "detect_changes_stream_monotone_exactly_once — append-mode "
+        "dropDuplicatesWithinWatermark on (key, value), still all-JVM, "
+        "exactly-once inside the watermark horizon (state is "
+        "O(distinct changes within --watermark-seconds), not O(keys))",
+    )
+    ap.add_argument(
+        "--watermark-seconds",
+        type=int,
+        default=30,
+        help="jvm_once only: watermark delay bounding the dedupe state "
+        "(and the exactly-once horizon). At worst-case churn state is "
+        "~rate x (delay + trigger) rows — size driver memory to match",
     )
     args = ap.parse_args()
 
@@ -71,6 +83,7 @@ def main() -> None:
     from webscrap_datapipeline_spark.streaming.change_detection import (
         detect_changes_stream,
         detect_changes_stream_monotone,
+        detect_changes_stream_monotone_exactly_once,
     )
 
     spark = get_spark(app_name="streaming-throughput-probe")
@@ -94,6 +107,26 @@ def main() -> None:
             detect_changes_stream_monotone(src)
             .writeStream.format("noop")
             .outputMode("update")
+        )
+    elif args.mode == "jvm_once":
+        # keep the rate source's event time for the watermark; the
+        # worst-case-churn mapping stays identical otherwise
+        src_once = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(args.rate))
+            .load()
+            .select(
+                F.col("timestamp").alias("event_ts"),
+                F.concat(F.lit("k"), (F.col("value") % args.keys)).alias("key"),
+                F.col("value").cast("string").alias("last_seen_ts"),
+            )
+        )
+        ws = (
+            detect_changes_stream_monotone_exactly_once(
+                src_once, "event_ts", f"{args.watermark_seconds} seconds"
+            )
+            .writeStream.format("noop")
+            .outputMode("append")
         )
     else:
         ws = detect_changes_stream(src).writeStream.format("noop").outputMode("append")
@@ -139,6 +172,7 @@ def main() -> None:
         "keys": args.keys,
         "mode": args.mode,
         "trigger_seconds": args.trigger_seconds,
+        "watermark_seconds": args.watermark_seconds if args.mode == "jvm_once" else None,
         "batches_measured": len(usable),
         "input_rows_per_sec": offered,
         "processed_rows_per_sec": processed,

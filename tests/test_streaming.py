@@ -144,6 +144,106 @@ def test_jvm_monotone_change_stream_semantics(spark, tmp_path):
     assert ("B", "t1") in emitted  # the pre-advance max was emitted in batch 1
 
 
+def test_jvm_monotone_exactly_once_wrapper(spark, tmp_path):
+    """detect_changes_stream_monotone_exactly_once: the dedupe-only
+    exactly-once form (round-7 VERDICT note 2). Same change set as the
+    at-least-once aggregate path, but a duplicate equal-value
+    re-observation inside the watermark horizon emits NOTHING — row
+    count equals the number of true changes exactly, no consumer-side
+    dedupe needed."""
+    from webscrap_datapipeline_spark.streaming.change_detection import (
+        detect_changes_stream_monotone_exactly_once,
+    )
+
+    src_dir = str(tmp_path / "keys_once")
+    ckpt = str(tmp_path / "ckpt_once")
+    _write_events_json(
+        src_dir,
+        ['{"key": "A", "last_seen_ts": "t1", "event_ts": "2026-01-01T00:00:00"}',
+         '{"key": "B", "last_seen_ts": "t1", "event_ts": "2026-01-01T00:00:01"}'],
+    )
+    stream = spark.readStream.schema(
+        "key string, last_seen_ts string, event_ts timestamp"
+    ).json(src_dir)
+    q = (
+        detect_changes_stream_monotone_exactly_once(stream, "event_ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName("cd_once_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: A unchanged (exact duplicate pair), B
+        # advanced, C new — the duplicate must emit NOTHING this time
+        _write_events_json(
+            src_dir,
+            ['{"key": "A", "last_seen_ts": "t1", "event_ts": "2026-01-01T00:10:00"}',
+             '{"key": "B", "last_seen_ts": "t2", "event_ts": "2026-01-01T00:10:01"}',
+             '{"key": "C", "last_seen_ts": "t1", "event_ts": "2026-01-01T00:10:02"}'],
+        )
+        q.processAllAvailable()
+        allrows = [(r["key"], r["last_seen_ts"])
+                   for r in spark.sql("select * from cd_once_test").collect()]
+    finally:
+        q.stop()
+    # exactly-once: the MULTISET equals the change set — 4 rows, no dups
+    assert sorted(allrows) == [("A", "t1"), ("B", "t1"), ("B", "t2"), ("C", "t1")]
+
+
+def test_monotone_agg_then_dedupe_chain_is_rejected(spark, tmp_path):
+    """Adjudication pin (round-7 VERDICT task 4 prescribed an
+    agg → dropDuplicatesWithinWatermark post-stage): Spark 4.1.2
+    structurally rejects that chain in BOTH output modes — update mode
+    trips the global-watermark correctness checker (stateful op
+    downstream of one that can emit watermark-late rows), append mode
+    refuses the non-windowed streaming aggregation itself. If a future
+    Spark version starts accepting it, this test fails and the
+    post-stage design should be revisited."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from webscrap_datapipeline_spark.streaming.change_detection import (
+        detect_changes_stream_monotone,
+    )
+
+    src_dir = str(tmp_path / "keys_chain")
+    _write_events_json(
+        src_dir,
+        ['{"key": "A", "last_seen_ts": "t1", "event_ts": "2026-01-01T00:00:00"}'],
+    )
+    stream = spark.readStream.schema(
+        "key string, last_seen_ts string, event_ts timestamp"
+    ).json(src_dir)
+    agg = (
+        stream.withWatermark("event_ts", "10 seconds")
+        .groupBy("key")
+        .agg(F.max("last_seen_ts").alias("last_seen_ts"),
+             F.max("event_ts").alias("event_ts"))
+    )
+    chained = agg.withWatermark("event_ts", "10 seconds").dropDuplicatesWithinWatermark(
+        ["key", "last_seen_ts"]
+    )
+    for mode in ("update", "append"):
+        ckpt = str(tmp_path / f"ckpt_chain_{mode}")
+        with pytest.raises(AnalysisException):
+            q = (
+                chained.writeStream.format("memory")
+                .queryName(f"cd_chain_{mode}")
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            # some rejections surface at start(), belt-and-braces:
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    # the shipped monotone agg path itself remains valid in update mode
+    assert detect_changes_stream_monotone(stream.select("key", "last_seen_ts")) is not None
+
+
 def test_file_source_streams_new_reports(spark, tmp_path):
     from webscrap_datapipeline_spark.sources.csv_reports import RAW_REPORT_SCHEMA
 
