@@ -265,18 +265,23 @@ def simhash_bit_band_keys(
     the fix is NOT more bits per band; use
     ``simhash_multi_band_keys`` (k-of-bands composite keys) for
     corpus-sized candidate mining."""
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band_idx"),
-            F.shiftright(F.col("simhash"), width * i)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("band_val"),
-        )
-        for i in range(bands)
-    ]
+    # posexplode of the plain band-value array: the position IS
+    # band_idx, so no struct construction/extraction nodes. The round-7
+    # extraction of this helper had switched to explode-of-structs; a
+    # round-8 ABAB (SCALE.md) measured that form ×1.12 slower on the
+    # oracled query, so the original inline posexplode shape is
+    # restored inside the shared helper.
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), width * i).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(bands)
+        ]
+    )
     return sh.select(
-        "doc", "simhash", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", "simhash", "bb.band_idx", "bb.band_val")
+        "doc", "simhash", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
 
 
 def simhash_auto_band_scheme(

@@ -141,6 +141,11 @@ _PINNED_FIRST: dict[str, int] = {
     # drift). Same values at every reachable n, but both the engine
     # path and the oracle text changed; re-verify under the driver.
     "lsh_auto_planes_volume": 8,
+    # round 8: simhash_bit_band_keys restored to the posexplode plan
+    # shape (ABAB measured the r7 explode-of-structs form ×1.12 slower
+    # on the oracled query — SCALE.md round 8); same output, changed
+    # plan; re-verify under the driver.
+    "simhash_near_dup_pairs": 8,
 }
 
 
