@@ -6,20 +6,32 @@ per cluster survives.
 
 Spark-first shape: hash-min label propagation as a DataFrame loop —
 each iteration is one equi-join (labels onto the symmetrized edge
-list) + one min-aggregate, both shuffling on vertex id only (never
-edge payloads), with map-side partial min. Iterations converge in
-O(graph diameter); duplicate clusters are near-cliques, so 2-3
-iterations in practice. Lineage is truncated per iteration with an
-eager localCheckpoint (the label table is O(vertices in pairs) —
-vertices touched by at least one candidate pair, a small fraction of
-the corpus), which also gives the loop its convergence counter for
-free: the checkpointed table is cheap to re-aggregate.
+list) + one min-aggregate with map-side partial min. At every call
+site here the edge list is the POST-THRESHOLD pair set (near-dups
+that actually cleared Jaccard/cosine), orders of magnitude smaller
+than the candidate volume, so the label table stays broadcastable
+far past the corpus sizes the candidate stages strain at: measured
+at ×64 (≈ sf6.4) the inner join is a BroadcastHashJoin on labels and
+the whole loop is ~2 s of a 19 s pipeline (SCALE.md round-8 plan
+audit). When labels outgrow the broadcast threshold the join falls
+back to shuffling the symmetrized list by vertex id each round —
+localCheckpoint does NOT preserve hash partitioning (verified on
+Spark 4.1.2: the Exchange reappears even when the checkpointed frame
+was pre-repartitioned on the join key), so the per-round shuffle
+cannot be hoisted out of the loop with checkpoints alone; the
+cluster-scale contingency is a bucketed scratch table for the
+symmetrized edges. Iterations converge in O(graph diameter);
+duplicate clusters are near-cliques, so 2-3 iterations in practice.
+Lineage is truncated per iteration with an eager localCheckpoint
+(the label table is O(vertices in pairs) — vertices touched by at
+least one candidate pair, a small fraction of the corpus), which
+also gives the loop its convergence counter for free: the
+checkpointed table is cheap to re-aggregate.
 
-At 1000-executor scale the same loop holds: the label table shuffles
-on vertex id each round; the alternative published formulations
-(large-star/small-star) reduce rounds on high-diameter graphs, but
-dedup graphs are diameter-2-ish and the simple hash-min loop does
-fewer shuffles per round.
+At 1000-executor scale the same loop holds: the alternative
+published formulations (large-star/small-star) reduce rounds on
+high-diameter graphs, but dedup graphs are diameter-2-ish and the
+simple hash-min loop does fewer shuffles per round.
 
 Reference lineage: the reference dedups only by exact key equality
 (drop_duplicates, src/utils.py:190); components generalize that to
