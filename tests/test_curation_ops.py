@@ -356,7 +356,13 @@ def test_simhash_multi_band_pairs_equal_single_band(spark):
         ).collect()
     }
     assert base, "corpus slice must contain near-dup pairs for the test to bind"
-    for k in (2, 3):
+    # k=4 is the scheme simhash_auto_band_scheme picks at the ×1024
+    # corpus (4, 12, 5) — C(12,4)=495 combos, the regime where the key
+    # assembly MUST run through the broadcast combo table (a 495-struct
+    # literal array trips janino's method limits); pinning it here means
+    # the production mitigation path, not just the small-k shapes, is
+    # recall-exact.
+    for k in (2, 3, 4):
         multi = {
             (r["doc_a"], r["doc_b"], r["hamming"])
             for r in simhash_near_dup_pairs_multi(sh, hamming_tol=8, k=k).collect()
