@@ -611,3 +611,47 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     _write_events_json(src_dir, ['{"key": "C", "v": 3.0}'])
     _write_events_json(src_dir, ['{"key": "D", "v": 4.0}'])
     assert drain() == ["A", "B", "C", "D"]
+
+
+def test_probe_change_dilution_monotone_and_change_rate(spark):
+    """scripts/streaming_throughput_probe._dilute: the realistic-churn
+    mapping must preserve the per-key monotone contract (ts
+    non-decreasing along each key's row sequence) and actually dilute —
+    exactly one ts advance per ``period`` occurrences of a key — or the
+    probe's O(changes·horizon) state cells would measure a different
+    regime than the operators document. period=1 must stay byte-equal
+    to the original worst-case mapping so historical cells compare."""
+    from types import SimpleNamespace
+
+    from scripts.streaming_throughput_probe import _dilute
+
+    keys, period, n = 7, 3, 996
+    base = spark.range(n)
+    args = SimpleNamespace(keys=keys, change_period=period)
+    df = base.select(
+        (F.col("id") % keys).alias("k"),
+        F.col("id").alias("value"),
+        _dilute(F.col("id"), args).alias("ts"),
+    )
+    per_key = (
+        df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.count_distinct("ts").alias("n_ts"),
+            # sorted-by-value ts sequence must equal its sorted self
+            F.array_sort(F.collect_list(F.struct("value", "ts"))).alias("seq"),
+        )
+        .collect()
+    )
+    for r in per_key:
+        ts_seq = [int(s["ts"]) for s in r["seq"]]
+        assert ts_seq == sorted(ts_seq), "per-key ts must be non-decreasing"
+        # one advance per `period` occurrences (boundary key offsets
+        # allow at most one extra distinct value)
+        import math
+
+        assert abs(r["n_ts"] - math.ceil(r["occ"] / period)) <= 1
+    # period=1: identical to the original worst-case column
+    args1 = SimpleNamespace(keys=keys, change_period=1)
+    worst = base.select(_dilute(F.col("id"), args1).alias("ts")).collect()
+    assert [r["ts"] for r in worst] == [str(i) for i in range(n)]
