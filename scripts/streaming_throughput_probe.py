@@ -121,9 +121,10 @@ def main() -> None:
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(args.rate))
         .load()
-        # worst-case churn: key cycles through --keys ids, ts is the
-        # monotonically increasing row id — every row differs from the
-        # key's stored value, so every row is a state write + an output
+        # key cycles through --keys ids; ts comes from _dilute: at the
+        # default --change-period 1 it is the monotonically increasing
+        # row id — worst-case churn, every row a state write + an
+        # output — at P>1 only every P-th occurrence per key advances
         .select(
             F.concat(F.lit("k"), (F.col("value") % args.keys)).alias("key"),
             _dilute(F.col("value"), args).alias("last_seen_ts"),
