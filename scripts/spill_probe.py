@@ -129,8 +129,12 @@ def _simhash_multi_band_mining(spark, corpus_dir: str):
     docs = load_table(spark, "documents", corpus_dir).select("doc_id", "text")
     n = docs.count()
     k, bands, width = simhash_auto_band_scheme(n)
+    # scheme info goes to STDERR: the probe's stdout contract is ONE
+    # final metrics JSON line (round-8 ADVICE — a second stdout line
+    # breaks any consumer parsing the output as a single JSON object)
     print(
         json.dumps({"corpus_docs": n, "k": k, "bands": bands, "width": width}),
+        file=sys.stderr,
         flush=True,
     )
     sh = simhash(docs, "text", "doc_id")

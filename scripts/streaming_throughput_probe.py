@@ -42,19 +42,29 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _dilute(value, args):
-    """The per-key value column. period=1 is the original worst case
-    (ts = row id, every row a change — byte-identical to the pre-flag
-    probe so historical cells stay comparable). period=P>1 floors the
-    row id to one advance per P full key-cycles: along any single
-    key's row sequence `value` increases by `keys` per occurrence, so
-    value div (keys*P) is non-decreasing — the monotone contract
-    holds — and only every P-th occurrence is a CHANGE, the rest are
-    duplicate (key, ts) pairs the operators must cheaply re-absorb
-    (at-least-once re-emit on the agg path; state no-op on the
-    dedupe path)."""
+    """The per-key value column. period=1 is the worst case (ts = row
+    id, every row a change). period=P>1 floors the row id to one
+    advance per P full key-cycles: along any single key's row sequence
+    `value` increases by `keys` per occurrence, so value div (keys*P)
+    is non-decreasing — the monotone contract holds — and only every
+    P-th occurrence is a CHANGE, the rest are duplicate (key, ts) pairs
+    the operators must cheaply re-absorb (at-least-once re-emit on the
+    agg path; state no-op on the dedupe path).
+
+    The value is zero-padded to a FIXED 19-digit width (round-8
+    ADVICE): the jvm mode's operator orders this STRING column with
+    F.max, and bare decimal strings order lexicographically
+    ('1000000' < '999999'), so across a digit-length boundary the
+    stored max would stick and long stretches would stop advancing
+    state — breaking both the per-key monotone contract and the
+    "every row a state write" worst-case claim. %019d covers every
+    non-negative int64, making string order == numeric order for all
+    modes (python/jvm_once compare by equality and are unaffected)."""
     if args.change_period <= 1:
-        return value.cast("string")
-    return F.floor(value / F.lit(args.keys * args.change_period)).cast("string")
+        return F.format_string("%019d", value)
+    return F.format_string(
+        "%019d", F.floor(value / F.lit(args.keys * args.change_period))
+    )
 
 
 def main() -> None:

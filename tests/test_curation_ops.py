@@ -305,8 +305,15 @@ def test_simhash_auto_band_scheme_arithmetic():
     # target occupancy NOT met) signals with a RuntimeWarning (round-8
     # ADVICE: callers like simhash_band_probe can tell the scheme is
     # best-effort, not occupancy-guaranteed)
-    with pytest.warns(RuntimeWarning, match="cap bound at k=4"):
+    with pytest.warns(RuntimeWarning, match=r"bound at k=4 by max_k=4 cap"):
         assert simhash_auto_band_scheme(10**12)[0] == 4
+    # a huge hamming_tol exhausts band WIDTH before max_k — the warning
+    # must name the width floor, not misattribute the cap (round-8
+    # ADVICE): at tol=60 the climb stops at k=3 (< max_k=4) because
+    # k=4 would need 63 // 65 = 0-bit bands, with occupancy still far
+    # above target
+    with pytest.warns(RuntimeWarning, match=r"bound at k=3 by width floor"):
+        assert simhash_auto_band_scheme(10**12, hamming_tol=60)[0] == 3
     # every uncapped pick above stays warning-free
     with warnings.catch_warnings():
         warnings.simplefilter("error")

@@ -644,14 +644,114 @@ def test_probe_change_dilution_monotone_and_change_rate(spark):
         .collect()
     )
     for r in per_key:
-        ts_seq = [int(s["ts"]) for s in r["seq"]]
+        # the jvm mode orders the RAW STRING with F.max, so monotonicity
+        # must hold on the strings themselves, not just int(ts) — the
+        # fixed-width %019d encoding makes the two orders coincide
+        # (round-8 ADVICE: bare decimal strings diverge across
+        # digit-length boundaries)
+        raw_seq = [s["ts"] for s in r["seq"]]
+        assert raw_seq == sorted(raw_seq), "per-key RAW ts strings must be non-decreasing"
+        assert all(len(s) == 19 for s in raw_seq), "fixed-width encoding"
+        ts_seq = [int(s) for s in raw_seq]
         assert ts_seq == sorted(ts_seq), "per-key ts must be non-decreasing"
         # one advance per `period` occurrences (boundary key offsets
         # allow at most one extra distinct value)
         import math
 
         assert abs(r["n_ts"] - math.ceil(r["occ"] / period)) <= 1
-    # period=1: identical to the original worst-case column
+    # period=1: the worst-case column — one distinct value per row, in
+    # the order-preserving fixed-width encoding
     args1 = SimpleNamespace(keys=keys, change_period=1)
     worst = base.select(_dilute(F.col("id"), args1).alias("ts")).collect()
-    assert [r["ts"] for r in worst] == [str(i) for i in range(n)]
+    assert [r["ts"] for r in worst] == [f"{i:019d}" for i in range(n)]
+
+
+def test_incremental_near_dup_stream_matches_batch_twin(spark, tmp_path):
+    """streaming/dedup_stream: each micro-batch mines candidate pairs
+    against the stored LSH band index (batch-proportional cost, round-8
+    VERDICT item 4). Pins: (1) per-batch pairs equal the batch twin
+    `incremental_lsh_candidates` run on the same pre-batch index, (2)
+    the index grows so a later batch's dup of a STREAMED doc is found,
+    (3) batch replay is idempotent (pairs and index rows unchanged),
+    (4) commit layout: bootstrap partition -1 plus one per batch id."""
+    import json as _json
+
+    from webscrap_datapipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+    )
+
+    t_corpus = "alpha beta gamma delta epsilon zeta eta theta"
+    t_other = "one two three four five six seven eight nine"
+    t_fresh = "totally different words compose this later document body"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    src_dir = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    os.makedirs(src_dir, exist_ok=True)
+    corpus = spark.createDataFrame(
+        [("c1", t_corpus), ("c2", t_other)], "doc_id string, text string"
+    )
+    bootstrap_lsh_index(corpus, index_dir)
+    idx_bootstrap = spark.read.parquet(index_dir)
+    assert idx_bootstrap.select("__batch_id").distinct().collect()[0][0] == -1
+
+    batch0 = [("n1", t_corpus), ("n2", t_fresh)]  # n1 dups a CORPUS doc
+    batch1 = [("n3", t_fresh), ("n4", t_fresh)]  # dups of a STREAMED doc + each other
+    sink = incremental_near_dup_sink(index_dir, pairs_dir)
+    stream = spark.readStream.schema("doc_id string, text string").json(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _write_events_json(
+            src_dir, [_json.dumps({"doc_id": d, "text": t}) for d, t in batch0]
+        )
+        q.processAllAvailable()
+        _write_events_json(
+            src_dir, [_json.dumps({"doc_id": d, "text": t}) for d, t in batch1]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = spark.read.parquet(pairs_dir)
+    got0 = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.filter(F.col("__batch_id") == 0).collect()
+    }
+    got1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.filter(F.col("__batch_id") == 1).collect()
+    }
+    assert got0 == {("n1", "c1")}
+    # n3/n4 vs the streamed n2 (index grew) + the in-batch (n3, n4) pair
+    assert got1 == {("n3", "n2"), ("n4", "n2"), ("n3", "n4")}
+
+    # batch-twin equivalence: the same pre-batch index + batch docs
+    # through the BATCH operator yield exactly the batch-0 pairs
+    twin = incremental_lsh_candidates(
+        idx_bootstrap,
+        spark.createDataFrame(batch0, "doc_id string, text string"),
+        "text",
+        "doc_id",
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in twin.collect()} == got0
+
+    # index layout: bootstrap + one partition per batch; n docs x 8 bands
+    idx = spark.read.parquet(index_dir)
+    assert {r[0] for r in idx.select("__batch_id").distinct().collect()} == {-1, 0, 1}
+    n_idx_rows = idx.count()
+    assert n_idx_rows == (2 + 2 + 2) * 8
+
+    # replay idempotence: re-running batch 0 overwrites its own
+    # partitions, leaving totals unchanged
+    sink(spark.createDataFrame(batch0, "doc_id string, text string"), 0)
+    assert spark.read.parquet(pairs_dir).count() == len(got0) + len(got1)
+    assert spark.read.parquet(index_dir).count() == n_idx_rows

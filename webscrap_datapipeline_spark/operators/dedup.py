@@ -326,9 +326,17 @@ def simhash_auto_band_scheme(
     while k < max_k and bits // (hamming_tol + k + 1) >= 1 and _over_target(k):
         k += 1
     if _over_target(k):
+        # name the constraint that actually stopped the climb (round-8
+        # ADVICE): at large hamming_tol the next k's band width would
+        # drop below 1 bit — a different ceiling than the max_k cap
+        stop = (
+            f"max_k={max_k} cap"
+            if k >= max_k
+            else f"width floor (k={k + 1} would give {bits} // {hamming_tol + k + 1} = 0-bit bands)"
+        )
         warnings.warn(
-            f"simhash_auto_band_scheme: cap bound at k={k} "
-            f"(max_k={max_k}, bits={bits}) with expected occupancy "
+            f"simhash_auto_band_scheme: bound at k={k} by {stop} "
+            f"(bits={bits}) with expected occupancy "
             f"{n_rows / 2 ** ((bits // (hamming_tol + k)) * k):.3g} "
             f"> target {target_occupancy}",
             RuntimeWarning,
@@ -582,6 +590,19 @@ def incremental_lsh_candidates(
     batch's own banding (same index, self-pairs)."""
     sigs = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
     new_idx = lsh_band_index(sigs, bands, rows_per_band)
+    return incremental_lsh_candidates_from_index(corpus_index, new_idx)
+
+
+def incremental_lsh_candidates_from_index(
+    corpus_index: DataFrame, new_idx: DataFrame
+) -> DataFrame:
+    """The join half of :func:`incremental_lsh_candidates`, taking the
+    new batch ALREADY banded — shared by the batch operator above and
+    the streaming foreachBatch sink (`streaming/dedup_stream.py`),
+    which computes the batch's band index once and feeds it to both
+    the pair mine and the index append. new-vs-new pairs come from
+    posting lists over the new index itself (identical banding, so
+    identical pairs to re-banding the signatures)."""
     corpus = corpus_index.select(
         F.col("doc").alias("corpus_doc"), "band", "bucket"
     )
@@ -590,5 +611,13 @@ def incremental_lsh_candidates(
         .filter(F.col("doc") != F.col("corpus_doc"))
         .select(F.col("doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b"))
     )
-    vs_self = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    posting = (
+        new_idx.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    vs_self = (
+        posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    )
     return vs_corpus.unionByName(vs_self).distinct()

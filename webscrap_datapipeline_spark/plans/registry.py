@@ -134,18 +134,16 @@ _PINNED_FIRST: dict[str, int] = {
     # slices); the wide aggregate serves corpus-scale probe calls.
     # Repopulate whenever a shipped plan/oracle changes.)
     #
-    # round 8: auto_planes reworked to integer-exact bit_length
-    # arithmetic and the oracle's CEIL(LOG2(...)) replaced by the same
-    # integer form with clamp constants interpolated from
-    # operators/similarity (round-7 ADVICE — libm boundary / constant
-    # drift). Same values at every reachable n, but both the engine
-    # path and the oracle text changed; re-verify under the driver.
-    "lsh_auto_planes_volume": 8,
-    # round 8: simhash_bit_band_keys restored to the posexplode plan
-    # shape (ABAB measured the r7 explode-of-structs form ×1.12 slower
-    # on the oracled query — SCALE.md round 8); same output, changed
-    # plan; re-verify under the driver.
-    "simhash_near_dup_pairs": 8,
+    # (Round-9 prune: the two r8 pins — lsh_auto_planes_volume,
+    # simhash_near_dup_pairs — landed green rows in CORRECTNESS_r08
+    # and retired.)
+    #
+    # round 9: nation_year_profit upgraded in place from the
+    # retailprice-proxy Q9 to the TRUE Q9 over the synthesized
+    # partsupp twin (plan AND oracle changed — unit cost now
+    # ps_supplycost_cents/100 joined on the composite key); re-verify
+    # under the driver.
+    "nation_year_profit": 9,
 }
 
 
