@@ -976,6 +976,46 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_bucketed_scratch_materializer(spark, tmp_path):
+    """The sym_materializer hook (the cluster-scale contingency probed
+    in scripts/bucketed_cc_probe.py): routing the symmetrized edge
+    list through a bucketed scratch table must yield EXACTLY the
+    checkpoint path's labels — the hook changes physical layout, never
+    the fixpoint."""
+    from webscrap_datapipeline_spark.operators.bucketing import (
+        bucketed,
+        write_bucketed,
+    )
+    from webscrap_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["src", "dst"]
+    )
+
+    def materialize(sym_df):
+        write_bucketed(
+            sym_df, "cc_test_sym_scratch", ["u"], 4, str(tmp_path / "sym")
+        )
+        return bucketed(spark, "cc_test_sym_scratch")
+
+    try:
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(
+                edges, "src", "dst", sym_materializer=materialize
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cc_test_sym_scratch")
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_dedup_survivors_keeps_min_and_unpaired(spark):
     from webscrap_datapipeline_spark.operators.components import dedup_survivors
 

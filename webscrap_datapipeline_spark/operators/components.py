@@ -45,23 +45,39 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iters: int = 20
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iters: int = 20,
+    sym_materializer=None,
 ) -> DataFrame:
     """Label every vertex appearing in ``edges`` with its component id =
     the minimum vertex id reachable from it. Returns (vertex,
     component). Deterministic: min-label is order-independent.
-    """
+
+    ``sym_materializer``: optional ``callable(sym_df) -> DataFrame``
+    that materializes the symmetrized edge list the loop joins against
+    every round. Default: eager localCheckpoint (in-memory blocks).
+    The cluster-scale contingency documented above routes it through a
+    bucketed scratch table on ``u``
+    (`operators/bucketing.write_bucketed` + catalog read) so each
+    round's join reads pre-distributed buckets with no edge-side
+    Exchange — localCheckpoint cannot provide that (it drops hash
+    partitioning on Spark 4.1.2, measured round 8); probed ABAB in
+    `scripts/bucketed_cc_probe.py` (SCALE.md round 9)."""
     # Materialize the symmetrized edge list ONCE before looping: every
     # iteration joins against it, and without the checkpoint each join
     # would re-execute the edges' entire upstream plan (at the call
     # sites here: the full quality-filter → dedup → pair-mining DAG) —
     # measured 3× the whole pipeline's cost at sf0.1. Edges are
     # candidate pairs, orders of magnitude smaller than the corpus.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if sym_materializer is None:
+        sym = sym.localCheckpoint(eager=True)
+    else:
+        sym = sym_materializer(sym)
     labels = (
         sym.select(F.col("u").alias("vertex"))
         .distinct()
