@@ -119,8 +119,19 @@ def main() -> None:
     n_comp = comp.groupBy("component").count().count()
     wall = time.monotonic() - t0
 
+    # representative per-round join plan, built EXACTLY the way the
+    # loop builds it (symmetrized union first — round-9 review: probing
+    # a one-direction frame measures a different-volume plan), counting
+    # only SHUFFLE exchanges ("Exchange hashpartitioning"): a bare
+    # "Exchange" substring count would also match BroadcastExchange,
+    # which bucketing neither targets nor elides
+    sym_dirs = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
     sym_probe = (
-        (bucketed(spark, "cc_probe_sym_scratch") if args.mode == "bucketed" else pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).localCheckpoint(eager=True))
+        bucketed(spark, "cc_probe_sym_scratch")
+        if args.mode == "bucketed"
+        else sym_dirs.localCheckpoint(eager=True)
     )
     labels_probe = sym_probe.select(F.col("u").alias("vertex")).distinct().withColumn(
         "component", F.col("vertex")
@@ -131,7 +142,8 @@ def main() -> None:
         .agg(F.min("component").alias("nbr_component"))
     )
     plan = round_join._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    n_broadcast_exchanges = plan.count("BroadcastExchange")
 
     spark.stop()
     if not args.pairs_parquet:
@@ -149,7 +161,8 @@ def main() -> None:
                 "n_pairs": n_pairs,
                 "n_components": n_comp,
                 "cc_wall_sec": round(wall, 2),
-                "round_join_exchanges": n_exchanges,
+                "round_join_shuffle_exchanges": n_exchanges,
+                "round_join_broadcast_exchanges": n_broadcast_exchanges,
             }
         )
     )

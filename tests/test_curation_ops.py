@@ -310,7 +310,8 @@ def test_simhash_auto_band_scheme_arithmetic():
     # a huge hamming_tol exhausts band WIDTH before max_k — the warning
     # must name the width floor, not misattribute the cap (round-8
     # ADVICE): at tol=60 the climb stops at k=3 (< max_k=4) because
-    # k=4 would need 63 // 65 = 0-bit bands, with occupancy still far
+    # k=4 would need 63 // (60+3+1) = 63 // 64 = 0-bit bands (the
+    # guard divides by tol + k + 1), with occupancy still far
     # above target
     with pytest.warns(RuntimeWarning, match=r"bound at k=3 by width floor"):
         assert simhash_auto_band_scheme(10**12, hamming_tol=60)[0] == 3

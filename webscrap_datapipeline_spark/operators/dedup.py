@@ -519,16 +519,22 @@ def minhash_lsh_candidates(
     pairs. Buckets turn into posting lists (groupBy band+bucket →
     sorted doc list → a<b fan-out → distinct): one shuffle + one
     distinct, no self-join, no n²."""
-    banded = lsh_band_index(signatures, bands, rows_per_band)
+    return _band_index_pairs(lsh_band_index(signatures, bands, rows_per_band)).distinct()
+
+
+def _band_index_pairs(index_df: DataFrame) -> DataFrame:
+    """(doc, band, bucket) index → a<b candidate pairs via posting
+    lists — the ONE place the bucket-to-pairs fan-out shape lives
+    (round-9 review: it had been copied into the incremental path,
+    so a future posting-list fix would have silently missed it). Not
+    deduplicated: callers distinct() after unioning their sources."""
     posting = (
-        banded.groupBy("band", "bucket")
+        index_df.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    return (
-        posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+    return posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p")).select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
     )
 
 
@@ -611,13 +617,5 @@ def incremental_lsh_candidates_from_index(
         .filter(F.col("doc") != F.col("corpus_doc"))
         .select(F.col("doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b"))
     )
-    posting = (
-        new_idx.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
-        .filter(F.size("docs") >= 2)
-    )
-    vs_self = (
-        posting.select(F.explode(_pair_combos(F.col("docs"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-    )
+    vs_self = _band_index_pairs(new_idx)
     return vs_corpus.unionByName(vs_self).distinct()

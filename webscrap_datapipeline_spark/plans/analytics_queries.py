@@ -1312,7 +1312,7 @@ _PARTSUPP_SQL = """
                          || '-' || CAST(ps_suppkey AS VARCHAR)), 1, 4))
                         AS BIGINT) % 9999 AS ps_availqty,
                100 + CAST(('0x' || substring(md5(CAST(ps_partkey AS VARCHAR)
-                           || '-' || CAST(ps_suppkey AS VARCHAR)), 5, 4))
+                           || '-' || CAST(ps_suppkey AS VARCHAR)), 5, 5))
                           AS BIGINT) % 99901 AS ps_supplycost_cents
         FROM ps_keys
     )
@@ -1367,8 +1367,11 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.conv(F.substring(sig, 1, 4), 16, 10).cast("bigint") % 9999).alias(
             "ps_availqty"
         ),
+        # 5 hex chars (0..1048575): a 4-char slice would cap at 65535
+        # and the % 99901 would never wrap — the documented 1.00..
+        # 1000.00 dbgen domain needs the wider slice (round-9 review)
         (
-            F.lit(100) + F.conv(F.substring(sig, 5, 4), 16, 10).cast("bigint") % 99901
+            F.lit(100) + F.conv(F.substring(sig, 5, 5), 16, 10).cast("bigint") % 99901
         ).alias("ps_supplycost_cents"),
     )
 

@@ -34,7 +34,6 @@ near-dup", round 9): per-batch cost vs corpus-index size.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -45,6 +44,18 @@ from ..operators.dedup import (
     lsh_band_index,
     minhash_signatures,
 )
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check through the HADOOP filesystem of ``path`` — a
+    driver-local ``os.path.isdir`` silently returns False for hdfs://,
+    s3a://, or file:/ URIs the read/write calls in this module accept,
+    which would empty the corpus side and drop every new-vs-corpus
+    pair without an error (round-9 review)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def bootstrap_lsh_index(
@@ -103,7 +114,7 @@ def incremental_near_dup_sink(
         new_idx = lsh_band_index(sigs, bands, rows_per_band).localCheckpoint(
             eager=True
         )
-        if os.path.isdir(index_dir):
+        if _fs_exists(spark, index_dir):
             # the corpus side is the index AS IT STOOD BEFORE THIS
             # BATCH (__batch_id < batch_id, partition-pruned): a
             # replayed batch then mines against exactly the same
