@@ -1517,3 +1517,134 @@ def understocked_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+@query(
+    "important_stock_parts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    scoped AS (
+        SELECT ps_partkey,
+               CAST(ps_supplycost_cents AS DECIMAL(38,0)) * ps_availqty AS v
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_nationkey < 13
+    ),
+    per_part AS (
+        SELECT ps_partkey, SUM(v) AS value_cents FROM scoped GROUP BY ps_partkey
+    ),
+    tot AS (
+        SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts FROM per_part
+    )
+    SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+    FROM per_part, tot
+    WHERE value_cents * n_parts * 2 > 3 * total_cents
+    """,
+    tags=("join", "agg", "scalar-subquery", "tpch-q11"),
+)
+def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's important-stock shape on the partsupp twin: parts
+    whose in-scope stock value (supplycost × availqty, summed over the
+    part's suppliers in the scoped nations) exceeds a share of the
+    TOTAL in-scope stock value — the uncorrelated scalar aggregate
+    subquery in HAVING.
+
+    Two corpus adaptations, neither changing the pinned plan shape:
+    Q11's single-nation filter is widened to ``n_nationkey < 13``
+    (~half the 25 nations) because sf0.001 ships only 10 suppliers and
+    one nation would often scope zero of them; and Q11's
+    ``0.0001/SF`` fraction (which needs an engine-visible SF knob) is
+    replaced by a scale-free threshold of 1.5× the MEAN per-part value
+    — ``value * n_parts * 2 > 3 * total`` in exact integer/decimal
+    arithmetic, measured binding-but-non-empty at every testdata sf
+    (38/200 parts at sf0.001, 133/2000 at sf0.01, 1345/20000 at
+    sf0.1).
+
+    Scale: supplier⋈nation scope rides a broadcast semi join
+    (s_suppkey is unique, so Q11's inner join ≡ semi join — no
+    fan-out); the only fact-sized shuffle is the per-part hash
+    aggregate; the global total is a 1-row aggregate broadcast back
+    over the per-part relation (crossJoin of a singleton — the
+    plan-shape suite's sanctioned pattern). All arithmetic is integer
+    cents in DECIMAL(38,0) — no float boundary to diverge between
+    engines at the HAVING threshold."""
+    ps = synth_partsupp(spark, sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_nationkey") < 13)
+    scoped_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    per_part = (
+        ps.join(F.broadcast(scoped_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents").cast("decimal(38,0)") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    tot = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") * 2 > 3 * F.col("total_cents"))
+        .select("ps_partkey", F.col("value_cents").cast("bigint").alias("value_cents"))
+    )
+
+
+@query(
+    "part_supplier_diversity",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'ECO%'
+      AND p_size IN (1, 4, 9, 16, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "anti-join", "count-distinct", "tpch-q16"),
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's parts/supplier-relationship shape on the partsupp
+    twin: how many distinct suppliers can furnish each surviving
+    (brand, type, size) bucket, after excluding one brand, a type
+    prefix, sizes outside an 8-value IN-list, and the suppliers on a
+    blacklist produced by an uncorrelated NOT-IN subquery.
+
+    Corpus adaptation: this part table ships no ``s_comment``, so
+    Q16's '%Customer%Complaints%' blacklist predicate becomes
+    ``s_acctbal < 0`` — same uncorrelated NOT-IN plan shape (empty set
+    at sf0.001, 6/100 suppliers at sf0.01 — binding where the driver
+    checks). ``s_suppkey`` is a non-NULL key, so NOT IN is exactly a
+    left-anti join (no tri-valued-NULL trap).
+
+    Scale: the brand/type/size filters push to the broadcast part
+    scan; the blacklist is a broadcast anti join; the only shuffle is
+    the count-distinct aggregate, which Spark runs as the standard
+    two-phase expand — partial distinct on (group, suppkey) map-side,
+    then the count. Nothing fact-sized crosses the wire twice."""
+    ps = synth_partsupp(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#2")
+        & ~F.col("p_type").startswith("ECO")
+        & F.col("p_size").isin(1, 4, 9, 16, 23, 36, 45, 49)
+    )
+    blacklist = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(blacklist), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
