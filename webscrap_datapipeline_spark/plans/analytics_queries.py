@@ -1648,3 +1648,85 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "min_cost_region_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    scoped AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+               s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    min_cost AS (
+        SELECT ps_partkey, MIN(ps_supplycost_cents) AS min_cost_cents
+        FROM scoped GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+           ps_supplycost_cents AS supplycost_cents
+    FROM scoped
+    JOIN min_cost USING (ps_partkey)
+    JOIN part ON p_partkey = ps_partkey
+    WHERE ps_supplycost_cents = min_cost_cents AND p_size <= 15
+    """,
+    tags=("join", "agg", "correlated-subquery", "tpch-q2"),
+)
+def min_cost_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's minimum-cost-supplier shape on the partsupp twin:
+    for each sufficiently small part, the EUROPE supplier(s) offering
+    it at the region-wide minimum supply cost. The correlated scalar
+    MIN subquery is de-correlated into one per-part aggregate over the
+    region-scoped partsupp rows, inner-joined back on
+    (partkey, cost = min) — a part with no EUROPE supplier has a NULL
+    subquery in the classic formulation and drops out, which the inner
+    join reproduces; cost ties keep every minimal supplier in both
+    engines (exact integer cents, no float boundary).
+
+    Corpus adaptations: ``p_size <= 15`` stands in for Q2's
+    ``p_size = [n]`` (one size is ~4 parts at sf0.001 — the range
+    keeps the result non-trivial at every sf: 74/592/5985 rows), and
+    Q2's ORDER BY + LIMIT 100 is dropped because a ties-at-the-
+    boundary top-k is not a deterministic SET (the driver hashes the
+    full sorted result; the shape's essence — correlated-min
+    de-correlation — is unaffected).
+
+    Scale: supplier⋈nation⋈region collapses to a broadcast dim (the
+    region filter prunes it before the join); partsupp shuffles ONCE
+    on ps_partkey for the min aggregate, and the join-back reuses the
+    same hash partitioning (co-partitioned self-join, no second
+    exchange of the fact side); part broadcasts with the size filter
+    pushed to its scan."""
+    ps = synth_partsupp(spark, sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    scoped = ps.join(
+        F.broadcast(euro_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
+    min_cost = scoped.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost_cents")
+    )
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 15)
+    return (
+        scoped.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost_cents"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+    )

@@ -114,7 +114,15 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str], int]:
 # (Round-6 prune: the r4/r5 entries all landed green rows and retired —
 # VERDICT r5 "What's wrong" item 1. Empty ≠ dead: repopulate whenever a
 # query is added mid-round.)
-_DEFER_TO_ROUND: dict[str, int] = {}
+_DEFER_TO_ROUND: dict[str, int] = {
+    # round 9 added five partsupp-twin queries but the window holds
+    # 50 = 1 pin + 45 stale-r6 rotation slots + 4 new: Q2 (the fifth,
+    # added last) defers to round 10 so no r6-era row loses its slot —
+    # the freshness floor outranks one round of driver latency. Local
+    # parity (sf0.001/0.1), ×64 scaled parity, and the determinism
+    # audit already prove it this round.
+    "min_cost_region_suppliers": 10,
+}
 
 # Queries whose PLAN or ORACLE changed in the round named by the pin —
 # already verified in an earlier round, but the verified code is not the
