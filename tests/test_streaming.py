@@ -755,3 +755,88 @@ def test_incremental_near_dup_stream_matches_batch_twin(spark, tmp_path):
     sink(spark.createDataFrame(batch0, "doc_id string, text string"), 0)
     assert spark.read.parquet(pairs_dir).count() == len(got0) + len(got1)
     assert spark.read.parquet(index_dir).count() == n_idx_rows
+
+
+def test_compact_lsh_index_preserves_mining_and_replay_contract(spark, tmp_path):
+    """streaming/dedup_stream.compact_lsh_index: folding committed
+    partitions into one consolidated negative-id partition (1) leaves
+    the next batch's candidate pairs EXACTLY what the uncompacted index
+    yields, (2) shrinks the partition layout, (3) tolerates re-runs
+    (the crash-duplicate story), and (4) last_committed_batch reads the
+    public checkpoint commits layout."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        compact_lsh_index,
+        incremental_near_dup_sink,
+        last_committed_batch,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    t_c = "totally different words compose this later document body"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    corpus = spark.createDataFrame(
+        [("c1", t_a), ("c2", t_b)], "doc_id string, text string"
+    )
+    bootstrap_lsh_index(corpus, index_dir)
+    sink = incremental_near_dup_sink(index_dir, pairs_dir)
+    sink(spark.createDataFrame([("n1", t_c)], "doc_id string, text string"), 0)
+    sink(spark.createDataFrame([("n2", t_c)], "doc_id string, text string"), 1)
+
+    idx = spark.read.parquet(index_dir)
+    pre_rows = {tuple(r) for r in idx.select("doc", "band", "bucket").collect()}
+    assert {r[0] for r in idx.select("__batch_id").distinct().collect()} == {-1, 0, 1}
+
+    # fold bootstrap + batches 0..1 (all "committed" in this direct-call
+    # harness) into one consolidated partition
+    stats = compact_lsh_index(spark, index_dir, upto_batch_id=1)
+    assert stats["folded_partitions"] == 3
+    assert stats["new_partition_id"] == -2
+    idx2 = spark.read.parquet(index_dir)
+    assert {r[0] for r in idx2.select("__batch_id").distinct().collect()} == {-2}
+    # content identical up to the partition stamp
+    assert {tuple(r) for r in idx2.select("doc", "band", "bucket").collect()} == pre_rows
+
+    # the NEXT batch mines the same pairs it would have pre-compaction:
+    # n3 dups t_c -> pairs with n1 and n2 (both now consolidated)
+    sink(spark.createDataFrame([("n3", t_c)], "doc_id string, text string"), 2)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 2).collect()
+    }
+    assert got == {("n3", "n1"), ("n3", "n2")}
+
+    # re-run tolerance: compacting again (now folding {-2, 2}) keeps the
+    # exact same row content under a fresh epoch id
+    stats2 = compact_lsh_index(spark, index_dir, upto_batch_id=2)
+    assert stats2["folded_partitions"] == 2
+    assert stats2["new_partition_id"] == -3
+    idx3 = spark.read.parquet(index_dir)
+    n3_rows = {
+        tuple(r)
+        for r in idx2.sparkSession.read.parquet(index_dir)
+        .filter(F.col("doc") == "n3")
+        .select("doc", "band", "bucket")
+        .collect()
+    }
+    assert len(n3_rows) == 8  # n3's 8 band rows joined the fold
+    assert {
+        tuple(r) for r in idx3.select("doc", "band", "bucket").collect()
+    } == pre_rows | n3_rows
+
+    # a no-op fold (single qualifying partition) reports zero work
+    assert compact_lsh_index(spark, index_dir, upto_batch_id=5) == {
+        "folded_partitions": 0,
+        "rows": 0,
+        "new_partition_id": None,
+    }
+
+    # last_committed_batch reads the commits log layout
+    ckpt = tmp_path / "ckpt"
+    assert last_committed_batch(spark, str(ckpt)) == -1
+    (ckpt / "commits").mkdir(parents=True)
+    for name in ("0", "1", "7", ".8.tmp"):
+        (ckpt / "commits" / name).write_text("v1")
+    assert last_committed_batch(spark, str(ckpt)) == 7

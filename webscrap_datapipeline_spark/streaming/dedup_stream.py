@@ -30,6 +30,14 @@ batch hashes into — at warehouse scale the index is a bucketed table
 on (band, bucket) so the probe side co-locates without re-shuffling
 the corpus per batch. Measured in SCALE.md ("Streaming incremental
 near-dup", round 9): per-batch cost vs corpus-index size.
+
+The one cost that DOES grow with stream age — one parquet partition
+per micro-batch, 2,880/day at 30 s triggers, eventually dominating the
+per-batch file listing — is reclaimed by :func:`compact_lsh_index`,
+which folds all partitions at or below a committed batch id into one
+consolidated negative-id partition with crash-safe ordering
+(scratch-write → atomic rename → delete); :func:`last_committed_batch`
+reads the replay-safety watermark from the stream's own checkpoint.
 """
 
 from __future__ import annotations
@@ -56,6 +64,102 @@ def _fs_exists(spark, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def last_committed_batch(spark, checkpoint_dir: str) -> int:
+    """Highest micro-batch id the checkpoint has COMMITTED (the
+    ``commits/`` log — public Structured Streaming checkpoint layout:
+    one integer-named file per committed batch). Batches ≤ this id can
+    never replay, which makes them safe to fold in
+    :func:`compact_lsh_index`. Returns -1 for a fresh/absent
+    checkpoint (nothing committed — only the bootstrap partition is
+    foldable, i.e. compaction is a no-op)."""
+    jvm = spark._jvm
+    commits = jvm.org.apache.hadoop.fs.Path(checkpoint_dir + "/commits")
+    fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(commits):
+        return -1
+    best = -1
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        try:
+            best = max(best, int(name))
+        except ValueError:
+            continue  # .tmp / metadata files
+    return best
+
+
+def compact_lsh_index(spark, index_dir: str, upto_batch_id: int) -> dict:
+    """Fold every index partition with ``__batch_id <= upto_batch_id``
+    into ONE consolidated partition — the maintenance operator that
+    keeps per-batch cost flat over the stream's LIFETIME. Without it
+    the index accrues one parquet partition per micro-batch forever
+    (2,880/day at 30 s triggers): the (band, bucket) join stays
+    batch-proportional, but the per-batch file LISTING grows with
+    stream age — the classic small-files failure, hit at month-scale
+    even on a 1000-executor cluster.
+
+    Safety contract: ``upto_batch_id`` must not exceed
+    :func:`last_committed_batch` of the stream's checkpoint. Committed
+    batches never replay, and any future or replayed batch k >
+    upto_batch_id still selects the consolidated rows through its
+    ``__batch_id < k`` pre-batch filter (the consolidated partition
+    takes a fresh NEGATIVE id below every real batch id and below
+    previous consolidations). Folding an UNcommitted batch would let
+    its replay see its own rows — self-pairs — which is exactly what
+    the contract rules out.
+
+    Crash-safe by ordering, not by locks: (1) consolidated rows are
+    written to a dot-prefixed scratch dir Spark's file index ignores,
+    (2) one atomic rename publishes it as the new partition, (3) only
+    then are the folded partition dirs deleted. A crash before (2)
+    leaves an ignored orphan (overwritten on re-run); a crash between
+    (2) and (3) leaves duplicate rows, which the candidate miner's
+    posting-list ``collect_set`` + ``distinct`` make content-harmless
+    until a re-run folds them away (the consolidation itself
+    re-distincts). Re-running compaction is always safe.
+
+    Returns ``{"folded_partitions", "rows", "new_partition_id"}``.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
+    part_vals: list[int] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__batch_id="):
+            part_vals.append(int(name.split("=", 1)[1]))
+    folded = [v for v in part_vals if v <= upto_batch_id]
+    if len(folded) <= 1:
+        return {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
+    new_id = min(min(part_vals), -1) - 1
+    consolidated = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("__batch_id") <= upto_batch_id)
+        .select("doc", "band", "bucket")
+        .distinct()
+    )
+    scratch = index_dir.rstrip("/") + "/.compact_scratch"
+    consolidated.write.mode("overwrite").parquet(scratch)
+    n_rows = spark.read.parquet(scratch).count()
+    ok = fs.rename(
+        jvm.org.apache.hadoop.fs.Path(scratch),
+        jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/__batch_id={new_id}"),
+    )
+    if not ok:  # pragma: no cover - FS race; orphan scratch is ignored
+        raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
+    for v in folded:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/__batch_id={v}"),
+            True,
+        )
+    return {
+        "folded_partitions": len(folded),
+        "rows": n_rows,
+        "new_partition_id": new_id,
+    }
 
 
 def bootstrap_lsh_index(
