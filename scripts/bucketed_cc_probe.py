@@ -146,10 +146,11 @@ def main() -> None:
     n_broadcast_exchanges = plan.count("BroadcastExchange")
 
     spark.stop()
-    if not args.pairs_parquet:
-        shutil.rmtree(scratch, ignore_errors=True)
-    else:
-        shutil.rmtree(os.path.join(scratch, "sym_bucketed"), ignore_errors=True)
+    # the mkdtemp scratch root is ALWAYS ours to remove — with
+    # --pairs-parquet the pairs live elsewhere and the root holds only
+    # sym_bucketed, which used to leak one /tmp/cc_probe_* per cell
+    # (round-9 review)
+    shutil.rmtree(scratch, ignore_errors=True)
 
     print(
         json.dumps(

@@ -840,3 +840,63 @@ def test_compact_lsh_index_preserves_mining_and_replay_contract(spark, tmp_path)
     for name in ("0", "1", "7", ".8.tmp"):
         (ckpt / "commits" / name).write_text("v1")
     assert last_committed_batch(spark, str(ckpt)) == 7
+
+
+def test_empty_first_batch_does_not_wedge_the_stream(spark, tmp_path):
+    """round-9 review: an empty first micro-batch writes a
+    data-file-less index dir; the corpus read must use the explicit
+    schema (inference over it throws and would replay-fail forever)."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        incremental_near_dup_sink,
+    )
+
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = incremental_near_dup_sink(index_dir, pairs_dir)
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    sink(empty, 0)  # creates index_dir with no data files
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    sink(spark.createDataFrame([("a", t), ("b", t)], "doc_id string, text string"), 1)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 1).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_sink_compact_every_folds_inside_the_batch_thread(spark, tmp_path):
+    """compact_every=2: after batch 2 runs, batches <= 1 (and the
+    bootstrap) are one consolidated negative partition and mining is
+    unchanged — the live-stream-safe compaction path."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    bootstrap_lsh_index(
+        spark.createDataFrame([("c1", t_a)], "doc_id string, text string"), index_dir
+    )
+    sink = incremental_near_dup_sink(index_dir, pairs_dir, compact_every=2)
+    mk = lambda d, t: spark.createDataFrame([(d, t)], "doc_id string, text string")
+    sink(mk("n0", t_b), 0)
+    sink(mk("n1", t_b), 1)
+    sink(mk("n2", t_a), 2)  # triggers the fold of {-1, 0, 1}
+
+    idx_parts = {
+        r[0]
+        for r in spark.read.parquet(index_dir).select("__batch_id").distinct().collect()
+    }
+    assert idx_parts == {-2, 2}
+    # mining across the fold boundary still works: batch 3 dups both a
+    # consolidated doc (n1) and a fresh one (n2)
+    sink(mk("n3", t_a), 3)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 3).collect()
+    }
+    assert got == {("n3", "c1"), ("n3", "n2")}

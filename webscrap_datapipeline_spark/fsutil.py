@@ -1,0 +1,56 @@
+"""Hadoop FileSystem helpers shared by every module that touches paths
+outside a DataFrame reader/writer (SCD upserts, streaming index
+maintenance, small-file compaction).
+
+One home instead of per-module copies (round-9 review: `scd.py`,
+`streaming/dedup_stream.py`, and `operators/maintenance.py` had each
+open-coded the same Path/getFileSystem boilerplate — a URI-scheme or
+py4j fix to one would have silently missed the others). Everything
+goes through the scheme's OWN FileSystem, never ``os.path``: the paths
+are s3a://, hdfs://, or executor-only URIs in any real deployment,
+where a driver-local ``os.path.exists`` reports an existing table as
+absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) pair for ``path`` under the session's Hadoop
+    configuration."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence through the Hadoop FileSystem API, not ``os.path``."""
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, recursive))
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, jsrc = hadoop_fs(spark, src)
+    jvm = spark._jvm
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def list_child_names(spark: SparkSession, path: str, dirs_only: bool = False) -> list[str]:
+    """Names (not full paths) of the direct children of ``path``;
+    empty if the path does not exist."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        if dirs_only and not st.isDirectory():
+            continue
+        out.append(st.getPath().getName())
+    return out

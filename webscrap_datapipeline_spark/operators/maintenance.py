@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from ..fsutil import hadoop_fs, list_child_names
+
 
 def compact_parquet(
     spark: SparkSession,
@@ -30,19 +32,15 @@ def compact_parquet(
     input splits task-side. (Use repartition only if the input is
     skewed enough that merged splits would be unbalanced.)
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(in_path)
-    fs = path.getFileSystem(conf)
+    fs, path = hadoop_fs(spark, in_path)
     total = fs.getContentSummary(path).getLength()
     n_files = max(1, -(-total // target_file_bytes))
 
     df = spark.read.parquet(in_path)
     df.coalesce(int(n_files)).write.mode("overwrite").parquet(out_path)
 
-    out = jvm.org.apache.hadoop.fs.Path(out_path)
     return sum(
         1
-        for f in fs.listStatus(out)
-        if f.getPath().getName().endswith(".parquet")
+        for name in list_child_names(spark, out_path)
+        if name.endswith(".parquet")
     )

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..fsutil import fs_exists
+
 
 def latest_per_key(df: DataFrame, key: str, ts: str, tiebreak: str | None = None) -> DataFrame:
     """Query-time current rows: row_number over (key, ts desc[, tiebreak
@@ -78,12 +80,10 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
     the target of an upsert is an s3a://, hdfs://, or executor-only URI
     in any real deployment, where a driver-local ``os.path.exists``
     reports an EXISTING table as absent and the init branch's plain
-    ``mode('overwrite')`` would then clobber it (round-2 ADVICE). The
-    scheme's own FileSystem answers for every URI Spark can write."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    ``mode('overwrite')`` would then clobber it (round-2 ADVICE).
+    Shared implementation in ``fsutil`` (round-9 review: three modules
+    had open-coded the same boilerplate)."""
+    return fs_exists(spark, path)
 
 
 def scd_upsert_partitioned(

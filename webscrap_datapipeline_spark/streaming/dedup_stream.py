@@ -44,26 +44,16 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from ..fsutil import fs_delete, fs_exists, fs_rename, list_child_names
 from ..operators.dedup import (
     incremental_lsh_candidates_from_index,
     lsh_band_index,
     minhash_signatures,
 )
-
-
-def _fs_exists(spark, path: str) -> bool:
-    """Existence check through the HADOOP filesystem of ``path`` — a
-    driver-local ``os.path.isdir`` silently returns False for hdfs://,
-    s3a://, or file:/ URIs the read/write calls in this module accept,
-    which would empty the corpus side and drop every new-vs-corpus
-    pair without an error (round-9 review)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
 
 
 def last_committed_batch(spark, checkpoint_dir: str) -> int:
@@ -74,14 +64,8 @@ def last_committed_batch(spark, checkpoint_dir: str) -> int:
     :func:`compact_lsh_index`. Returns -1 for a fresh/absent
     checkpoint (nothing committed — only the bootstrap partition is
     foldable, i.e. compaction is a no-op)."""
-    jvm = spark._jvm
-    commits = jvm.org.apache.hadoop.fs.Path(checkpoint_dir + "/commits")
-    fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(commits):
-        return -1
     best = -1
-    for st in fs.listStatus(commits):
-        name = st.getPath().getName()
+    for name in list_child_names(spark, checkpoint_dir + "/commits"):
         try:
             best = max(best, int(name))
         except ValueError:
@@ -109,6 +93,16 @@ def compact_lsh_index(spark, index_dir: str, upto_batch_id: int) -> dict:
     its replay see its own rows — self-pairs — which is exactly what
     the contract rules out.
 
+    Concurrency contract (round-9 review): the delete step races
+    against any OTHER process scanning the index — a live stream whose
+    current micro-batch planned its corpus read before the fold
+    finishes can hit FileNotFoundException mid-scan and terminate.
+    Call this either (a) with the stream stopped (maintenance window),
+    or (b) from INSIDE the stream's own ``foreachBatch`` thread, where
+    micro-batches run strictly serially — which is what the sink's
+    ``compact_every`` option does for you. Never from a sidecar
+    process against a live stream.
+
     Crash-safe by ordering, not by locks: (1) consolidated rows are
     written to a dot-prefixed scratch dir Spark's file index ignores,
     (2) one atomic rename publishes it as the new partition, (3) only
@@ -121,43 +115,38 @@ def compact_lsh_index(spark, index_dir: str, upto_batch_id: int) -> dict:
 
     Returns ``{"folded_partitions", "rows", "new_partition_id"}``.
     """
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
-    part_vals: list[int] = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("__batch_id="):
-            part_vals.append(int(name.split("=", 1)[1]))
+    noop = {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
+    if not fs_exists(spark, index_dir):
+        return noop
+    part_vals = [
+        int(name.split("=", 1)[1])
+        for name in list_child_names(spark, index_dir, dirs_only=True)
+        if name.startswith("__batch_id=")
+    ]
     folded = [v for v in part_vals if v <= upto_batch_id]
     if len(folded) <= 1:
-        return {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
+        return noop
     new_id = min(min(part_vals), -1) - 1
+    obs = Observation("compact_rows")
     consolidated = (
         spark.read.parquet(index_dir)
         .filter(F.col("__batch_id") <= upto_batch_id)
         .select("doc", "band", "bucket")
         .distinct()
+        # row count rides the write job itself — a follow-up count()
+        # would re-scan the whole consolidated index (round-9 review)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     scratch = index_dir.rstrip("/") + "/.compact_scratch"
     consolidated.write.mode("overwrite").parquet(scratch)
-    n_rows = spark.read.parquet(scratch).count()
-    ok = fs.rename(
-        jvm.org.apache.hadoop.fs.Path(scratch),
-        jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/__batch_id={new_id}"),
-    )
-    if not ok:  # pragma: no cover - FS race; orphan scratch is ignored
+    target = f"{index_dir.rstrip('/')}/__batch_id={new_id}"
+    if not fs_rename(spark, scratch, target):  # pragma: no cover - FS race
         raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
     for v in folded:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/__batch_id={v}"),
-            True,
-        )
+        fs_delete(spark, f"{index_dir.rstrip('/')}/__batch_id={v}")
     return {
         "folded_partitions": len(folded),
-        "rows": n_rows,
+        "rows": obs.get["n"],
         "new_partition_id": new_id,
     }
 
@@ -195,6 +184,7 @@ def incremental_near_dup_sink(
     num_hashes: int = 32,
     bands: int = 8,
     rows_per_band: int = 4,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function. Attach with::
 
@@ -204,9 +194,24 @@ def incremental_near_dup_sink(
 
     Output: ``pairs_dir`` accumulates (doc_a, doc_b, __batch_id) rows —
     doc_a the arriving doc for new-vs-corpus pairs, a<b sorted for
-    new-vs-new pairs — exactly the batch operator's candidate set per
-    batch, so downstream verification (jaccard rescore, cluster/
-    survivor choice) reuses the batch operators unchanged."""
+    new-vs-new pairs (the orientation is part of the pinned batch-twin
+    contract: it tells you WHICH doc triggered the pair). Consumers
+    treating pairs as unordered should normalize to (least, greatest)
+    first: an at-least-once source that re-delivers an already-indexed
+    doc re-discovers its pairs in the later batch's partition with the
+    orientation flipped — partition-scoped idempotence dedupes
+    replays of the SAME batch, not re-deliveries across batches.
+    Otherwise exactly the batch operator's candidate set per batch, so
+    downstream verification (jaccard rescore, cluster/survivor choice)
+    reuses the batch operators unchanged.
+
+    ``compact_every=N`` folds the index every N batches via
+    :func:`compact_lsh_index` (upto the previous batch — committed by
+    construction once this batch is running) INSIDE the sink thread,
+    where micro-batches are strictly serial — the only safe place to
+    compact under a live stream. A replayed batch re-runs the fold as
+    a no-op (everything at or below the watermark is already one
+    partition)."""
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -218,16 +223,26 @@ def incremental_near_dup_sink(
         new_idx = lsh_band_index(sigs, bands, rows_per_band).localCheckpoint(
             eager=True
         )
-        if _fs_exists(spark, index_dir):
+        if fs_exists(spark, index_dir):
             # the corpus side is the index AS IT STOOD BEFORE THIS
             # BATCH (__batch_id < batch_id, partition-pruned): a
             # replayed batch then mines against exactly the same
             # corpus no matter how many later batches landed before
             # the replay — pair output is a pure function of
             # (batch, batch_id), which is what makes the partition
-            # overwrite idempotent in CONTENT and not just in layout
-            corpus = spark.read.parquet(index_dir).filter(
-                F.col("__batch_id") < batch_id
+            # overwrite idempotent in CONTENT and not just in layout.
+            # Schema is EXPLICIT (batch schema + the partition column):
+            # an empty first batch writes a data-file-less dir, and
+            # schema inference over it would throw and wedge every
+            # subsequent batch behind the same AnalysisException
+            # (round-9 review)
+            corpus_schema = T.StructType(
+                list(new_idx.schema) + [T.StructField("__batch_id", T.LongType())]
+            )
+            corpus = (
+                spark.read.schema(corpus_schema)
+                .parquet(index_dir)
+                .filter(F.col("__batch_id") < batch_id)
             )
         else:
             # first batch, no bootstrap: corpus side is empty — pairs
@@ -251,5 +266,11 @@ def incremental_near_dup_sink(
             .partitionBy("__batch_id")
             .parquet(index_dir)
         )
+        # in-sink maintenance: this thread is the stream's only writer
+        # AND only reader of index_dir, so folding here cannot race a
+        # concurrent scan; batches <= batch_id - 1 are committed by
+        # construction once this batch is running
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_lsh_index(spark, index_dir, upto_batch_id=batch_id - 1)
 
     return mine_batch
