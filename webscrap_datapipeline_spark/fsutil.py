@@ -37,9 +37,39 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
 
 
 def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename within ONE FileSystem. ``dst`` is qualified against
+    ``src``'s FileSystem before the call: an unqualified dst on a
+    cross-scheme/authority pair would otherwise resolve INSIDE src's FS
+    and fail from within it with a confusing false/throw (round-9
+    ADVICE) — a genuine cross-FS move is a copy, not a rename, and is
+    rejected here explicitly.
+
+    Atomicity is the FILESYSTEM's: atomic on HDFS and local; on object
+    stores (s3a://) rename is a non-atomic copy+delete, so callers
+    relying on rename-as-commit (e.g. index compaction publish) degrade
+    there to harmless-duplicate semantics and O(data) cost — each such
+    caller documents its own degradation."""
     fs, jsrc = hadoop_fs(spark, src)
     jvm = spark._jvm
-    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    dst_scheme = jdst.toUri().getScheme()
+    if dst_scheme is not None and dst_scheme != fs.getUri().getScheme():
+        raise ValueError(
+            f"fs_rename is same-FileSystem only: src={src!r} dst={dst!r} "
+            "resolve to different schemes (a cross-FS move is a copy job, "
+            "not a rename)"
+        )
+    return bool(fs.rename(jsrc, fs.makeQualified(jdst)))
+
+
+def fs_dir_size(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (0 if absent) — the size-tiered
+    compaction picker's input. One namenode round-trip
+    (getContentSummary), no data read."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())
 
 
 def list_child_names(spark: SparkSession, path: str, dirs_only: bool = False) -> list[str]:

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..fsutil import fs_delete, fs_exists, fs_rename, list_child_names
+from ..fsutil import fs_delete, fs_dir_size, fs_exists, fs_rename, list_child_names
 from ..operators.dedup import (
     incremental_lsh_candidates_from_index,
     lsh_band_index,
@@ -73,25 +73,71 @@ def last_committed_batch(spark, checkpoint_dir: str) -> int:
     return best
 
 
-def compact_lsh_index(spark, index_dir: str, upto_batch_id: int) -> dict:
-    """Fold every index partition with ``__batch_id <= upto_batch_id``
-    into ONE consolidated partition — the maintenance operator that
-    keeps per-batch cost flat over the stream's LIFETIME. Without it
-    the index accrues one parquet partition per micro-batch forever
+def _index_schema(doc_type: str = "string") -> T.StructType:
+    """Explicit on-disk schema of an LSH band index directory —
+    `operators/dedup.lsh_band_index` columns plus the partition column.
+    Reading with THIS instead of inference keeps maintenance reads
+    alive when a crash leaves only data-file-less partition dirs, the
+    same hardening the sink's corpus read got in round 9 (round-9
+    ADVICE item 4). ``doc_type`` follows the stream's id column."""
+    return T.StructType(
+        [
+            T.StructField("doc", T._parse_datatype_string(doc_type)),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.StringType()),
+            T.StructField("__batch_id", T.LongType()),
+        ]
+    )
+
+
+def compact_lsh_index(
+    spark,
+    index_dir: str,
+    upto_batch_id: int,
+    checkpoint_dir: str | None = None,
+    max_fold_partitions: int | None = None,
+    chunk_merge_at: int = 8,
+    doc_type: str = "string",
+) -> dict:
+    """Fold index partitions with ``__batch_id <= upto_batch_id`` into
+    consolidated partitions — the maintenance operator that keeps
+    per-batch cost flat over the stream's LIFETIME. Without it the
+    index accrues one parquet partition per micro-batch forever
     (2,880/day at 30 s triggers): the (band, bucket) join stays
     batch-proportional, but the per-batch file LISTING grows with
     stream age — the classic small-files failure, hit at month-scale
     even on a 1000-executor cluster.
 
+    Two shapes (round-9 VERDICT item 6):
+
+    * ``max_fold_partitions=None`` — fold EVERYTHING eligible into one
+      partition. Maximal reclaim, but the fold rewrites the whole
+      consolidated corpus in one job: fine in a maintenance window,
+      measured to spike a live-wire batch past its trigger interval
+      (SCALE.md round 9, 22.8 s fold batch).
+    * ``max_fold_partitions=K`` — TIERED fold for in-sink cadences:
+      fold only the K oldest BATCH partitions (ids ≥ -1) into one new
+      chunk, never re-absorbing prior chunks, so a fold batch touches
+      at most K micro-batches of rows no matter how old the stream is.
+      Chunks (negative ids < -1) accumulate one per cadence; when
+      ``chunk_merge_at`` or more exist, the SMALLEST ``chunk_merge_at``
+      chunks (by on-disk size — size-tiered, so a merge never
+      repeatedly re-absorbs the one big old chunk) merge into one in a
+      second bounded job. Steady-state partition count stays bounded
+      whenever ``K - 1 >= compact_every`` (each cadence removes K and
+      adds 1 while the stream added ``compact_every``).
+
     Safety contract: ``upto_batch_id`` must not exceed
     :func:`last_committed_batch` of the stream's checkpoint. Committed
     batches never replay, and any future or replayed batch k >
     upto_batch_id still selects the consolidated rows through its
-    ``__batch_id < k`` pre-batch filter (the consolidated partition
-    takes a fresh NEGATIVE id below every real batch id and below
-    previous consolidations). Folding an UNcommitted batch would let
-    its replay see its own rows — self-pairs — which is exactly what
-    the contract rules out.
+    ``__batch_id < k`` pre-batch filter (consolidated partitions take
+    fresh NEGATIVE ids below every real batch id and below previous
+    consolidations). Folding an UNcommitted batch would let its replay
+    see its own rows — self-pairs. Pass ``checkpoint_dir`` to have the
+    function enforce this itself: ``upto_batch_id`` is clamped to the
+    checkpoint's committed watermark (round-9 ADVICE item 1), so a
+    maintenance-window caller cannot silently violate the contract.
 
     Concurrency contract (round-9 review): the delete step races
     against any OTHER process scanning the index — a live stream whose
@@ -105,50 +151,97 @@ def compact_lsh_index(spark, index_dir: str, upto_batch_id: int) -> dict:
 
     Crash-safe by ordering, not by locks: (1) consolidated rows are
     written to a dot-prefixed scratch dir Spark's file index ignores,
-    (2) one atomic rename publishes it as the new partition, (3) only
-    then are the folded partition dirs deleted. A crash before (2)
-    leaves an ignored orphan (overwritten on re-run); a crash between
-    (2) and (3) leaves duplicate rows, which the candidate miner's
-    posting-list ``collect_set`` + ``distinct`` make content-harmless
-    until a re-run folds them away (the consolidation itself
-    re-distincts). Re-running compaction is always safe.
+    (2) one rename publishes it as the new partition, (3) only then
+    are the folded partition dirs deleted. The rename is atomic on
+    HDFS and local filesystems ONLY — on object stores (s3a://) it is
+    a non-atomic copy+delete (round-9 ADVICE item 2), so there a crash
+    mid-publish can leave a partial consolidated partition: content-
+    harmless (the miner's posting-list ``collect_set`` + ``distinct``
+    absorb duplicates, and the next fold re-distincts them away), but
+    the publish step costs a full data copy rather than a metadata op.
+    A crash before (2) leaves an ignored orphan (overwritten on
+    re-run); a crash between (2) and (3) leaves duplicate rows with
+    the same harmless-duplicate story. Re-running compaction is always
+    safe.
 
-    Returns ``{"folded_partitions", "rows", "new_partition_id"}``.
+    Returns ``{"folded_partitions", "rows", "new_partition_id"}`` for
+    the batch-tier fold, plus ``{"merged_chunks", "chunk_rows",
+    "chunk_partition_id"}`` when a size-tiered chunk merge also ran.
     """
     noop = {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
     if not fs_exists(spark, index_dir):
         return noop
+    if checkpoint_dir is not None:
+        upto_batch_id = min(upto_batch_id, last_committed_batch(spark, checkpoint_dir))
+    base = index_dir.rstrip("/")
     part_vals = [
         int(name.split("=", 1)[1])
         for name in list_child_names(spark, index_dir, dirs_only=True)
         if name.startswith("__batch_id=")
     ]
-    folded = [v for v in part_vals if v <= upto_batch_id]
-    if len(folded) <= 1:
+    if not part_vals:
         return noop
-    new_id = min(min(part_vals), -1) - 1
-    obs = Observation("compact_rows")
-    consolidated = (
-        spark.read.parquet(index_dir)
-        .filter(F.col("__batch_id") <= upto_batch_id)
-        .select("doc", "band", "bucket")
-        .distinct()
-        # row count rides the write job itself — a follow-up count()
-        # would re-scan the whole consolidated index (round-9 review)
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-    )
-    scratch = index_dir.rstrip("/") + "/.compact_scratch"
-    consolidated.write.mode("overwrite").parquet(scratch)
-    target = f"{index_dir.rstrip('/')}/__batch_id={new_id}"
-    if not fs_rename(spark, scratch, target):  # pragma: no cover - FS race
-        raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
-    for v in folded:
-        fs_delete(spark, f"{index_dir.rstrip('/')}/__batch_id={v}")
-    return {
-        "folded_partitions": len(folded),
-        "rows": obs.get["n"],
-        "new_partition_id": new_id,
-    }
+    next_id = min(min(part_vals), -1) - 1
+    schema = _index_schema(doc_type)
+
+    def fold(ids: list[int], new_id: int) -> int:
+        """Distinct the named partitions into ``__batch_id=new_id``
+        via scratch-write → rename → delete; returns the row count
+        (observed on the write job itself — a follow-up count() would
+        re-scan the consolidated output, round-9 review)."""
+        obs = Observation(f"compact_rows_{new_id}")
+        consolidated = (
+            spark.read.schema(schema)
+            .parquet(index_dir)
+            .filter(F.col("__batch_id").isin(ids))
+            .select("doc", "band", "bucket")
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        scratch = base + "/.compact_scratch"
+        consolidated.write.mode("overwrite").parquet(scratch)
+        if not fs_rename(spark, scratch, f"{base}/__batch_id={new_id}"):  # pragma: no cover - FS race
+            raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
+        for v in ids:
+            fs_delete(spark, f"{base}/__batch_id={v}")
+        return obs.get["n"]
+
+    eligible = sorted(v for v in part_vals if v <= upto_batch_id)
+    if max_fold_partitions is None:
+        if len(eligible) <= 1:
+            return noop
+        rows = fold(eligible, next_id)
+        return {
+            "folded_partitions": len(eligible),
+            "rows": rows,
+            "new_partition_id": next_id,
+        }
+
+    # tiered: oldest K batch partitions (bootstrap -1 counts as one),
+    # prior chunks untouched by this tier
+    batch_tier = [v for v in eligible if v >= -1][:max_fold_partitions]
+    out = dict(noop)
+    if len(batch_tier) >= 2:
+        out = {
+            "folded_partitions": len(batch_tier),
+            "rows": fold(batch_tier, next_id),
+            "new_partition_id": next_id,
+        }
+        next_id -= 1
+    # size-tiered chunk merge: bounded second job over the SMALLEST
+    # chunks only, so the big old chunk is re-absorbed at most once
+    # per doubling of its peers, not once per cadence
+    chunks = [v for v in part_vals if v < -1]
+    if out["new_partition_id"] is not None:
+        chunks.append(out["new_partition_id"])
+    if len(chunks) >= chunk_merge_at:
+        by_size = sorted(
+            chunks, key=lambda v: (fs_dir_size(spark, f"{base}/__batch_id={v}"), v)
+        )[:chunk_merge_at]
+        out["merged_chunks"] = len(by_size)
+        out["chunk_rows"] = fold(by_size, next_id)
+        out["chunk_partition_id"] = next_id
+    return out
 
 
 def bootstrap_lsh_index(
@@ -185,6 +278,7 @@ def incremental_near_dup_sink(
     bands: int = 8,
     rows_per_band: int = 4,
     compact_every: int | None = None,
+    compact_max_partitions: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function. Attach with::
 
@@ -211,7 +305,12 @@ def incremental_near_dup_sink(
     where micro-batches are strictly serial — the only safe place to
     compact under a live stream. A replayed batch re-runs the fold as
     a no-op (everything at or below the watermark is already one
-    partition)."""
+    partition). ``compact_max_partitions=K`` makes the in-sink fold
+    TIERED (see :func:`compact_lsh_index`): each cadence folds only
+    the K oldest batch partitions, so no single micro-batch absorbs a
+    whole-corpus rewrite — the fix for the round-9 live-wire fold
+    spike (22.8 s in one batch, SCALE.md); pick ``K > compact_every``
+    so reclaim keeps pace with partition arrival."""
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -271,6 +370,11 @@ def incremental_near_dup_sink(
         # concurrent scan; batches <= batch_id - 1 are committed by
         # construction once this batch is running
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_lsh_index(spark, index_dir, upto_batch_id=batch_id - 1)
+            compact_lsh_index(
+                spark,
+                index_dir,
+                upto_batch_id=batch_id - 1,
+                max_fold_partitions=compact_max_partitions,
+            )
 
     return mine_batch
