@@ -302,7 +302,7 @@ def test_driver_window_is_least_recently_verified_rotation():
         REGISTRY,
     )
 
-    last_green, seen, latest_round = _driver_history()
+    last_green, last_seen, latest_round = _driver_history()
     names = _ordered_names()
     assert sorted(names) == sorted(REGISTRY)  # a permutation, nothing lost
 
@@ -342,6 +342,66 @@ def test_driver_window_is_least_recently_verified_rotation():
             and n not in deferred
         ):
             assert i < first_verified, f"{n} (never green) sorted after verified rows"
+
+
+def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
+    """round-9 VERDICT item 3: a rows-only query whose implementing
+    module changed since its last driver-seen round re-enters the
+    window (bucket 2) — but capped at the slots left after pins,
+    never-green oracled rows, never-seen rows, and the FULL oldest-
+    green cohort, so re-entries can never stall the freshness floor
+    (item 8). Pure-function test over synthetic histories, like the
+    _driver_history contract itself; plus a live check that the git
+    gate really fires for the committed history."""
+    from webscrap_datapipeline_spark.plans.registry import (
+        _ROWS_ONLY_PINNED,
+        _module_changed_since_round,
+        _rows_only_reentries,
+        REGISTRY,
+    )
+
+    rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
+    assert len(rows_only) >= 3
+    oracled = [n for n, q in REGISTRY.items() if q.oracle is not None]
+
+    # synthetic history: every oracled query green in round 7 (cohort
+    # consumes the whole window) -> zero free slots, no re-entries even
+    # though every rows-only module "changed"
+    lg_full = {n: 7 for n in oracled}
+    ls = {n: 3 for n in rows_only} | lg_full
+    got = _rows_only_reentries(lg_full, ls, 9, lambda n, r: True)
+    assert got == frozenset()
+
+    # cohort of 40 + nothing else pending -> 10 free slots, all
+    # changed rows-only queries re-enter (there are fewer than 10)
+    lg_small = {n: (7 if i < 40 else 8) for i, n in enumerate(oracled)}
+    got = _rows_only_reentries(lg_small, ls, 9, lambda n, r: True)
+    assert got == frozenset(rows_only)
+
+    # module-change gate: nothing changed -> nothing re-enters
+    got = _rows_only_reentries(lg_small, ls, 9, lambda n, r: False)
+    assert got == frozenset()
+
+    # cap ordering: with fewer free slots than candidates, the
+    # _ROWS_ONLY_PINNED query wins one regardless of seen-age (here it
+    # is the YOUNGEST-seen candidate, which would otherwise lose).
+    # Green rounds sit ABOVE every _PINNED_FIRST round so no synthetic
+    # pin reactivates and eats a slot.
+    lg_tight = {n: (98 if i < 48 else 99) for i, n in enumerate(oracled)}
+    free = 50 - sum(1 for r in lg_tight.values() if r == 98)
+    assert free == 2 < len(rows_only)
+    pinned = [n for n in _ROWS_ONLY_PINNED if n in rows_only]
+    if pinned:
+        ls_pin = {n: (3 if n in pinned else 2) for n in rows_only} | lg_tight
+        got = _rows_only_reentries(lg_tight, ls_pin, 9, lambda n, r: True)
+        assert set(pinned) <= got  # pin beats older-seen peers
+        assert len(got) == free
+
+    # the live git gate: the committed record says the round-10 window
+    # grants re-entry to at least the pinned motivating case, and the
+    # gate returns False for a round with no CORRECTNESS file
+    assert _module_changed_since_round("embedding_ivf_topk", 3) is True
+    assert _module_changed_since_round("embedding_ivf_topk", 9999) is False
 
 
 def test_scaled_parity_corpus_preserves_fk_integrity(spark, tmp_path):

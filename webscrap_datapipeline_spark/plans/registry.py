@@ -69,10 +69,17 @@ _MODULE_RANK = {
 }
 
 
-def _driver_history() -> tuple[dict[str, int], frozenset[str], int]:
-    """({name: last round with a green hash row}, driver-seen names,
-    latest round with a committed CORRECTNESS file — 0 when none),
-    derived from the committed CORRECTNESS_r*.json files rather than a
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _driver_history() -> tuple[dict[str, int], dict[str, int], int]:
+    """({name: last round with a green hash row}, {name: last round the
+    driver SAW the query at all — green, rows-only, or failed}, latest
+    round with a committed CORRECTNESS file — 0 when none), derived
+    from the committed CORRECTNESS_r*.json files rather than a
     hand-maintained list (round-2 ADVICE: a hard-coded frozenset
     silently drifts from the actual driver record). Missing/corrupt
     files degrade to empty — every query then competes for a window
@@ -83,9 +90,9 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str], int]:
     import os
     import re
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    repo_root = _repo_root()
     last_green: dict[str, int] = {}
-    seen: set[str] = set()
+    last_seen: dict[str, int] = {}
     latest_round = 0
     for fname in sorted(os.listdir(repo_root)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
@@ -101,10 +108,60 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str], int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            seen.add(name)
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
             if isinstance(row, dict) and row.get("hash_match") is True:
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    return last_green, frozenset(seen), latest_round
+    return last_green, last_seen, latest_round
+
+
+def _module_changed_since_round(query_name: str, round_no: int) -> bool:
+    """True when the plans module implementing ``query_name`` was
+    committed to AFTER round ``round_no``'s CORRECTNESS record landed —
+    i.e. the code the driver last saw for this query is no longer the
+    committed code (round-9 VERDICT item 1 under "What's wrong": the
+    bucket-4 rule starved rows-only queries of driver slots forever,
+    letting the record imply r3-era code is what ran). Derived from
+    git rather than a hand-maintained list, same rationale as
+    :func:`_driver_history`; any failure (no git, shallow copy,
+    untracked file) degrades to False — the query then stays in the
+    yield bucket, which never steals a freshness slot by accident."""
+    import inspect
+    import os
+    import re
+    import subprocess
+
+    repo_root = _repo_root()
+
+    def commit_ts(rel_path: str) -> int:
+        try:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--", rel_path],
+                cwd=repo_root,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            return int(out) if out else 0
+        except (OSError, ValueError, subprocess.SubprocessError):
+            return 0
+
+    record = next(
+        (
+            f
+            for f in os.listdir(repo_root)
+            if re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+            and int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f).group(1)) == round_no
+        ),
+        None,
+    )
+    if record is None:
+        return False
+    try:
+        mod_file = os.path.relpath(inspect.getfile(REGISTRY[query_name].fn), repo_root)
+    except (TypeError, OSError, KeyError):
+        return False
+    record_ts, mod_ts = commit_ts(record), commit_ts(mod_file)
+    return bool(record_ts and mod_ts and mod_ts > record_ts)
 
 # Queries added MID-round, after the current window's 50-slot budget was
 # already allocated. A deferred query sorts LAST until the CORRECTNESS
@@ -155,30 +212,116 @@ _PINNED_FIRST: dict[str, int] = {
 }
 
 
-def _ordered_names() -> list[str]:
-    last_green, seen, latest_round = _driver_history()
+# The driver verifies this many registry-prefix entries per round — the
+# constant every slot-budget computation below is denominated in.
+_WINDOW_SLOTS = 50
 
-    def rank(name: str) -> tuple[int, int, int]:
+# Rows-only analog of _PINNED_FIRST: the query's EXECUTED PLAN is known
+# to have changed (not merely its module file), so it outranks the
+# automatic module-changed re-entries for the capped re-entry slots.
+# Retires once the driver sees the query in a round >= the pin round.
+_ROWS_ONLY_PINNED: dict[str, int] = {
+    # round 10: ivf_search was split out of ivf_topk after the r3
+    # rows-only row — the driver record implies r3-era code ran
+    # (round-9 VERDICT "What's wrong" item 1, the motivating case).
+    "embedding_ivf_topk": 10,
+}
+
+
+def _rows_only_reentries(
+    last_green: dict[str, int],
+    last_seen: dict[str, int],
+    latest_round: int,
+    module_changed: Callable[[str, int], bool],
+) -> frozenset[str]:
+    """Rows-only queries that RE-ENTER the driver window this round
+    (round-9 VERDICT item 3): driver-seen before, but their
+    implementing module changed since that round, so the stale record
+    no longer describes the committed code. Capped at the window slots
+    LEFT OVER after (a) active plan-change pins, (b) oracled queries
+    with no green row yet, (c) never-seen rows-only queries, and
+    (d) the full oldest-green cohort — so re-entries never stall the
+    freshness floor (round-9 VERDICT item 8: the floor must keep
+    advancing). Within the cap: explicit _ROWS_ONLY_PINNED first, then
+    oldest-seen first, name as the total-order tiebreak."""
+    pins = sum(
+        1 for n, rnd in _PINNED_FIRST.items()
+        if n in REGISTRY and last_green.get(n, 0) < rnd
+    )
+    deferred = {
+        n for n, rnd in _DEFER_TO_ROUND.items() if latest_round < rnd - 1
+    }
+    never_green = sum(
+        1
+        for n, q in REGISTRY.items()
+        if q.oracle is not None and n not in last_green and n not in deferred
+    )
+    never_seen = sum(
+        1
+        for n, q in REGISTRY.items()
+        if q.oracle is None and n not in last_seen and n not in deferred
+    )
+    green_rounds = [
+        rnd for n, rnd in last_green.items()
+        if n in REGISTRY and REGISTRY[n].oracle is not None
+    ]
+    oldest_cohort = (
+        sum(1 for r in green_rounds if r == min(green_rounds)) if green_rounds else 0
+    )
+    free = max(0, _WINDOW_SLOTS - pins - never_green - never_seen - oldest_cohort)
+    candidates = sorted(
+        (
+            n
+            for n, q in REGISTRY.items()
+            if q.oracle is None
+            and n in last_seen
+            and n not in deferred
+            and module_changed(n, last_seen[n])
+        ),
+        key=lambda n: (
+            0
+            if last_seen.get(n, 0) < _ROWS_ONLY_PINNED.get(n, 0)
+            else 1,
+            last_seen[n],
+            n,
+        ),
+    )
+    return frozenset(candidates[:free])
+
+
+def _ordered_names() -> list[str]:
+    last_green, last_seen, latest_round = _driver_history()
+    reentries = _rows_only_reentries(
+        last_green, last_seen, latest_round, _module_changed_since_round
+    )
+
+    def rank(name: str) -> tuple[int, int, int, int]:
         q = REGISTRY[name]
         mod = q.fn.__module__.rsplit(".", 1)[-1]
+        sub = 0
         if name in _DEFER_TO_ROUND and latest_round < _DEFER_TO_ROUND[name] - 1:
             bucket = 9  # mid-round addition: yields this window entirely
         elif name in _PINNED_FIRST and last_green.get(name, 0) < _PINNED_FIRST[name]:
             bucket = 0  # plan/oracle changed this round — re-verify first
         elif q.oracle is not None and name not in last_green:
             bucket = 1  # exact check available but no green driver row yet
-        elif q.oracle is None and name not in seen:
+        elif q.oracle is None and name not in last_seen:
             bucket = 2  # rows-only, never even driver-seen
+        elif q.oracle is None and name in reentries:
+            bucket = 2  # rows-only whose module drifted past its driver
+            # record — slot-capped re-entry (round-9 VERDICT item 3),
+            # sorted after the never-seen rows
+            sub = 1
         elif q.oracle is not None:
             bucket = 3  # hash-verified: least-recently-verified first, so
             # the window is a rotating re-verification budget (round-3
             # VERDICT item 1 — evidence freshness, oldest rows first)
         else:
-            bucket = 4  # rows-only, already driver-seen: a repeat rows-only
-            # check adds nothing, so these yield their slots to the
-            # hash-verified rotation
+            bucket = 4  # rows-only, already driver-seen, code unchanged
+            # since: a repeat rows-only check adds nothing, so these
+            # yield their slots to the hash-verified rotation
         age = last_green.get(name, 0) if bucket == 3 else 0
-        return (bucket, age, _MODULE_RANK.get(mod, 99))
+        return (bucket, sub, age, _MODULE_RANK.get(mod, 99))
 
     return sorted(REGISTRY, key=rank)  # stable: insertion order within a bucket
 
