@@ -220,3 +220,103 @@ def test_results_independent_of_shuffle_partitioning(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
         assert wide == narrow, f"{name} varies with partitioning"
+
+
+# --- frequency sketches (operators/sketches.py, round-10) -------------
+
+_WORDS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(40)]),
+    min_size=1,
+    max_size=400,
+)
+
+
+@given(words=_WORDS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_count_min_sketch_never_underestimates(spark, words):
+    """Cormode–Muthukrishnan one-sided error, pinned: for EVERY item,
+    cms_estimate >= exact count — at a deliberately tiny width (16
+    buckets for up to 40 distinct words) so collisions actually occur;
+    and at the shipped width the estimate is EXACT because the additive
+    error is bounded by e/width * N < 1."""
+    import collections
+
+    from webscrap_datapipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    exact = collections.Counter(words)
+    items = spark.createDataFrame([(w,) for w in words], "token string")
+    probes = spark.createDataFrame([(w,) for w in exact], "token string")
+
+    tiny = count_min_sketch(items, width=16)
+    est_tiny = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(tiny, probes, width=16).collect()
+    }
+    assert set(est_tiny) == set(exact)
+    for w, c in exact.items():
+        assert est_tiny[w] >= c, f"{w}: {est_tiny[w]} < {c}"
+
+    wide = count_min_sketch(items, width=16384)
+    est_wide = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(wide, probes, width=16384).collect()
+    }
+    assert est_wide == dict(exact)  # e/width * N < 1 at these sizes
+
+    # never-seen probe estimates 0 (left join + coalesce, not a drop)
+    ghost = spark.createDataFrame([("never-seen-token",)], "token string")
+    got = cms_estimate(tiny, ghost, width=16).collect()
+    assert [(r["token"], r["est_count"]) for r in got] == [("never-seen-token", 0)]
+
+
+@given(
+    words=_WORDS,
+    capacity=st.sampled_from([4, 8, 64]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_heavy_hitters_exact_above_the_misra_gries_bound(spark, words, capacity):
+    """token_heavy_hitters invariants under adversarially flat
+    distributions and tiny capacities: (1) every emitted count is the
+    EXACT global count (candidates are rescored, never estimated);
+    (2) every token whose count exceeds N/capacity IS in the result
+    (the summed Misra-Gries decrement bound survives partitioning);
+    (3) when capacity comfortably exceeds the vocabulary the result is
+    exactly the true top-k with the (count desc, token asc) tiebreak."""
+    import collections
+
+    from webscrap_datapipeline_spark.operators.sketches import token_heavy_hitters
+
+    exact = collections.Counter(words)
+    n = len(words)
+    k = 10
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    ).repartition(4)
+    got = token_heavy_hitters(docs, "text", k=k, capacity=capacity).collect()
+
+    for r in got:
+        assert r["occurrences"] == exact[r["token"]]  # (1) exact counts
+    got_tokens = {r["token"] for r in got}
+    true_order = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    must_have = {w for w, c in exact.items() if c > n / capacity}
+    top_of_must = set(
+        w for w, _ in sorted(
+            ((w, exact[w]) for w in must_have), key=lambda kv: (-kv[1], kv[0])
+        )[:k]
+    )
+    assert top_of_must <= got_tokens  # (2) the guarantee set survives
+
+    if capacity >= len(exact):
+        want = [(w, c) for w, c in true_order[:k]]
+        assert [(r["token"], r["occurrences"]) for r in got] == want  # (3)

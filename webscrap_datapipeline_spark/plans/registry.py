@@ -179,6 +179,12 @@ _DEFER_TO_ROUND: dict[str, int] = {
     # parity (sf0.001/0.1), ×64 scaled parity, and the determinism
     # audit already prove it this round.
     "min_cost_region_suppliers": 10,
+    # round 10 window is exactly full (min_cost + 3 capped rows-only
+    # re-entries + the entire 46-row r7 freshness cohort): the two new
+    # sketch queries defer one round rather than evict an r7 row.
+    # Local parity / pytest pins cover them this round.
+    "token_heavy_hitters": 11,
+    "token_cms_profile": 11,
 }
 
 # Queries whose PLAN or ORACLE changed in the round named by the pin —

