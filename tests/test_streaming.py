@@ -1042,3 +1042,220 @@ def test_fs_rename_rejects_cross_scheme_and_fs_dir_size_counts_bytes(
     # unqualified same-FS rename still works
     assert fs_rename(spark, str(src), str(tmp_path / "b"))
     assert fs_dir_size(spark, str(tmp_path / "b")) == 123
+
+
+def test_bucketed_index_sink_matches_plain_layout_and_elides_corpus_exchange(
+    spark, tmp_path
+):
+    """round-9 VERDICT item 2: with ``index_table`` set, the streaming
+    dedup corpus index is a bucketed catalog table on (band, bucket).
+    Pins: (1) pair CONTENT per batch is identical to the plain layout
+    across bootstrap + three batches; (2) the per-batch join plan has
+    NO corpus-side shuffle — exactly one Exchange (the micro-batch
+    probe side) vs two in the plain layout; (3) a fresh-session-style
+    re-registration (DROP + register_lsh_index_table) restores the
+    no-shuffle plan from the directory alone."""
+    from webscrap_datapipeline_spark.operators.dedup import (
+        incremental_lsh_candidates_from_index,
+        lsh_band_index,
+        minhash_signatures,
+    )
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+        register_lsh_index_table,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    corpus = spark.createDataFrame(
+        [("c1", t_a), ("c2", t_b)], "doc_id string, text string"
+    )
+    batches = [
+        [("n0", t_a)],
+        [("n1", "totally different words compose this document body here")],
+        [("n2", t_a), ("n3", t_b)],
+    ]
+
+    plain_dir = str(tmp_path / "plain_idx")
+    plain_pairs = str(tmp_path / "plain_pairs")
+    bootstrap_lsh_index(corpus, plain_dir)
+    plain_sink = incremental_near_dup_sink(plain_dir, plain_pairs)
+
+    bkt_dir = str(tmp_path / "bkt_idx")
+    bkt_pairs = str(tmp_path / "bkt_pairs")
+    table = "lsh_bkt_test_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bootstrap_lsh_index(corpus, bkt_dir, index_table=table, index_buckets=8)
+    bkt_sink = incremental_near_dup_sink(
+        bkt_dir, bkt_pairs, index_table=table, index_buckets=8
+    )
+
+    for i, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id string, text string")
+        plain_sink(bdf, i)
+        bkt_sink(bdf, i)
+        p = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(plain_pairs)
+            .filter(F.col("__batch_id") == i)
+            .collect()
+        }
+        b = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(bkt_pairs)
+            .filter(F.col("__batch_id") == i)
+            .collect()
+        }
+        assert b == p, f"batch {i}: {b} != {p}"
+    assert len(p) > 0  # the last batch really mined something
+
+    # (2) plan shape: corpus-side Exchange elided. Build the join the
+    # sink builds, once per layout, with broadcast off so the Exchange
+    # structure is visible.
+    def exchanges(corpus_df):
+        probe = spark.createDataFrame(
+            [("p0", t_a)], "doc_id string, text string"
+        )
+        new_idx = lsh_band_index(minhash_signatures(probe, "text", "doc_id"))
+        pairs = incremental_lsh_candidates_from_index(corpus_df, new_idx)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_plain = exchanges(
+            spark.read.parquet(plain_dir).filter(F.col("__batch_id") < 99)
+        )
+        n_bkt = exchanges(
+            spark.table(table).filter(F.col("__batch_id") < 99)
+        )
+        assert n_bkt == n_plain - 1, (n_plain, n_bkt)
+
+        # (3) fresh-session story: catalog entry lost, directory kept
+        spark.sql(f"DROP TABLE {table}")
+        register_lsh_index_table(spark, table, bkt_dir, num_buckets=8)
+        assert (
+            exchanges(spark.table(table).filter(F.col("__batch_id") < 99))
+            == n_bkt
+        )
+        n_rows = spark.table(table).count()
+        assert n_rows == spark.read.parquet(bkt_dir).count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_index_compaction_keeps_layout_and_mining(spark, tmp_path):
+    """Compaction in the bucketed layout: the fold writes through a
+    bucketed scratch table (bucket ids ride in the preserved file
+    names), swaps partitions in the catalog, and the folded table (1)
+    keeps its row content, (2) still plans the corpus join with no
+    corpus-side Exchange, (3) keeps mining exact across the fold
+    boundary, and (4) replay of an already-indexed batch stays
+    idempotent (DROP-partition + re-append path)."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        compact_lsh_index,
+        incremental_near_dup_sink,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        t_a,
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet shades",
+        "north south east west up down left right center",
+    ]
+    bkt_dir = str(tmp_path / "bkt_idx")
+    bkt_pairs = str(tmp_path / "bkt_pairs")
+    table = "lsh_bkt_compact_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        bootstrap_lsh_index(
+            spark.createDataFrame([("c1", t_a)], "doc_id string, text string"),
+            bkt_dir,
+            index_table=table,
+            index_buckets=8,
+        )
+        sink = incremental_near_dup_sink(
+            bkt_dir, bkt_pairs, index_table=table, index_buckets=8
+        )
+        for i, t in enumerate(texts):
+            sink(
+                spark.createDataFrame(
+                    [(f"n{i}", t + f" tail{i}")], "doc_id string, text string"
+                ),
+                i,
+            )
+        pre = {
+            tuple(r)
+            for r in spark.table(table).select("doc", "band", "bucket").collect()
+        }
+
+        stats = compact_lsh_index(
+            spark, bkt_dir, upto_batch_id=2, index_table=table, index_buckets=8
+        )
+        assert stats["folded_partitions"] == 4  # {-1, 0, 1, 2}
+        assert stats["new_partition_id"] == -2
+        shown = {
+            int(r[0].split("=")[1])
+            for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+        }
+        assert shown == {-2, 3}
+        assert {
+            tuple(r)
+            for r in spark.table(table).select("doc", "band", "bucket").collect()
+        } == pre  # (1)
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                spark.table(table)
+                .groupBy("band", "bucket")
+                .count()
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert plan.count("Exchange hashpartitioning") == 0  # (2)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # (3) mining across the fold: n4 repeats n0's text exactly, and
+        # both near-dup the bootstrap doc c1 (same base text, one extra
+        # token) — all pair evidence lives in the consolidated partition
+        sink(
+            spark.createDataFrame(
+                [("n4", texts[0] + " tail0")], "doc_id string, text string"
+            ),
+            4,
+        )
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(bkt_pairs)
+            .filter(F.col("__batch_id") == 4)
+            .collect()
+        }
+        assert got == {("n4", "n0"), ("n4", "c1")}
+
+        # (4) replay idempotence in the catalog layout
+        n_rows = spark.table(table).count()
+        sink(
+            spark.createDataFrame(
+                [("n4", texts[0] + " tail0")], "doc_id string, text string"
+            ),
+            4,
+        )
+        assert spark.table(table).count() == n_rows
+        got2 = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(bkt_pairs)
+            .filter(F.col("__batch_id") == 4)
+            .collect()
+        }
+        assert got2 == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -26,10 +26,15 @@ module wires that operator into Structured Streaming via
 Scale posture: per-batch cost is O(|batch| × bands) signature work plus
 one equi-join against the index on the batch's (band, bucket) keys.
 The index grows with the corpus, but the join only touches buckets the
-batch hashes into — at warehouse scale the index is a bucketed table
-on (band, bucket) so the probe side co-locates without re-shuffling
-the corpus per batch. Measured in SCALE.md ("Streaming incremental
-near-dup", round 9): per-batch cost vs corpus-index size.
+batch hashes into — and with ``index_table`` set (round-10, closing
+round-9 VERDICT item 2) the index IS a bucketed catalog table on
+(band, bucket): the per-batch join plans with NO corpus-side Exchange,
+so only the micro-batch hashes into the corpus's layout and the
+per-batch cost stops carrying a corpus-sized re-shuffle. The plain
+``__batch_id``-partitioned parquet layout remains the zero-setup
+default for short-lived streams. Measured in SCALE.md ("Streaming
+incremental near-dup", rounds 9–10): per-batch cost vs corpus-index
+size, both layouts.
 
 The one cost that DOES grow with stream age — one parquet partition
 per micro-batch, 2,880/day at 30 s triggers, eventually dominating the
@@ -98,6 +103,8 @@ def compact_lsh_index(
     max_fold_partitions: int | None = None,
     chunk_merge_at: int = 8,
     doc_type: str = "string",
+    index_table: str | None = None,
+    index_buckets: int = 32,
 ) -> dict:
     """Fold index partitions with ``__batch_id <= upto_batch_id`` into
     consolidated partitions — the maintenance operator that keeps
@@ -174,6 +181,15 @@ def compact_lsh_index(
     if checkpoint_dir is not None:
         upto_batch_id = min(upto_batch_id, last_committed_batch(spark, checkpoint_dir))
     base = index_dir.rstrip("/")
+    bucketed = index_table is not None and spark.catalog.tableExists(index_table)
+    if bucketed:
+        # heal the catalog partition list first: a crash between a
+        # prior fold's publish-rename and its ADD PARTITION leaves an
+        # unregistered (or an undeleted dropped) partition dir; MSCK
+        # re-syncs from the directory layout. Duplicate rows a heal
+        # resurrects are content-harmless (miner distinct) and the
+        # fold below re-distincts them away.
+        spark.sql(f"MSCK REPAIR TABLE {index_table}")
     part_vals = [
         int(name.split("=", 1)[1])
         for name in list_child_names(spark, index_dir, dirs_only=True)
@@ -188,22 +204,56 @@ def compact_lsh_index(
         """Distinct the named partitions into ``__batch_id=new_id``
         via scratch-write → rename → delete; returns the row count
         (observed on the write job itself — a follow-up count() would
-        re-scan the consolidated output, round-9 review)."""
+        re-scan the consolidated output, round-9 review). In bucketed
+        mode the scratch is written through a bucketed scratch TABLE
+        with the same (band, bucket) spec — the bucket ids ride in the
+        file NAMES, which the publish rename preserves, so the folded
+        partition stays a valid member of the bucketed layout — and
+        the partition swap is mirrored into the catalog."""
         obs = Observation(f"compact_rows_{new_id}")
+        src = (
+            spark.table(index_table)
+            if bucketed
+            else spark.read.schema(schema).parquet(index_dir)
+        )
         consolidated = (
-            spark.read.schema(schema)
-            .parquet(index_dir)
-            .filter(F.col("__batch_id").isin(ids))
+            src.filter(F.col("__batch_id").isin(ids))
             .select("doc", "band", "bucket")
             .distinct()
             .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         scratch = base + "/.compact_scratch"
-        consolidated.write.mode("overwrite").parquet(scratch)
+        if bucketed:
+            scratch_table = f"{index_table}__compact_scratch"
+            spark.sql(f"DROP TABLE IF EXISTS {scratch_table}")
+            fs_delete(spark, scratch)
+            (
+                consolidated.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(index_buckets, "band", "bucket")
+                .sortBy("band", "bucket")
+                .option("path", scratch)
+                .saveAsTable(scratch_table)
+            )
+            spark.sql(f"DROP TABLE {scratch_table}")  # files stay (external)
+        else:
+            consolidated.write.mode("overwrite").parquet(scratch)
         if not fs_rename(spark, scratch, f"{base}/__batch_id={new_id}"):  # pragma: no cover - FS race
             raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
+        if bucketed:
+            spark.sql(
+                f"ALTER TABLE {index_table} ADD IF NOT EXISTS "
+                f"PARTITION (__batch_id={new_id})"
+            )
         for v in ids:
+            if bucketed:
+                spark.sql(
+                    f"ALTER TABLE {index_table} DROP IF EXISTS "
+                    f"PARTITION (__batch_id={v})"
+                )
             fs_delete(spark, f"{base}/__batch_id={v}")
+        if bucketed:
+            spark.sql(f"REFRESH TABLE {index_table}")
         return obs.get["n"]
 
     eligible = sorted(v for v in part_vals if v <= upto_batch_id)
@@ -244,6 +294,91 @@ def compact_lsh_index(
     return out
 
 
+def register_lsh_index_table(
+    spark,
+    table: str,
+    index_dir: str,
+    num_buckets: int = 32,
+    doc_type: str = "string",
+) -> None:
+    """(Re-)register the BUCKETED catalog entry for an LSH index
+    directory — the warehouse-scale layout the sink's scale posture
+    assumes (round-9 VERDICT item 2). The bucket spec lives in the
+    catalog, not the files, so a fresh session (or a fresh metastore)
+    must re-declare it before `spark.table` reads regain the
+    no-corpus-shuffle plan; MSCK REPAIR resyncs the partition list
+    from the directory layout. Idempotent — safe to call at every
+    stream start.
+
+    ``num_buckets`` is a LAYOUT CONTRACT: every writer of ``table``
+    must use the same count (the sink and compactor take it from their
+    own ``index_buckets`` argument — keep them equal), and changing it
+    means rewriting the table. 32 suits the local harness; at
+    warehouse scale pick the bucket count for the TARGET corpus (e.g.
+    4096) exactly as `operators/bucketing.py` documents."""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table}
+            (doc {doc_type}, band INT, bucket STRING, __batch_id BIGINT)
+        USING PARQUET
+        PARTITIONED BY (__batch_id)
+        CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
+            INTO {int(num_buckets)} BUCKETS
+        LOCATION '{index_dir}'
+        """
+    )
+    if fs_exists(spark, index_dir):  # MSCK throws on a not-yet-written location
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def _write_index_partition(
+    idx: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    index_table: str | None,
+    index_buckets: int,
+) -> None:
+    """Publish one ``__batch_id`` partition of the band index.
+
+    Plain layout: dynamic partition overwrite (a replayed batch
+    rewrites exactly its own partition). Bucketed layout: the catalog
+    write path does not support dynamic overwrite of a bucketed
+    partitioned table, so replay idempotence is explicit — DROP + dir
+    delete of this batch's partition, then a bucketed APPEND with the
+    matching spec. The drop-then-append pair runs inside the strictly
+    serial foreachBatch thread, so no concurrent reader exists (same
+    argument as in-sink compaction)."""
+    stamped = idx.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+    if index_table is None:
+        (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(index_dir)
+        )
+        return
+    spark = idx.sparkSession
+    if not spark.catalog.tableExists(index_table):
+        # stream started with no bootstrap: declare the layout first
+        register_lsh_index_table(
+            spark, index_table, index_dir, index_buckets,
+            doc_type=idx.schema["doc"].dataType.simpleString(),
+        )
+    spark.sql(
+        f"ALTER TABLE {index_table} DROP IF EXISTS PARTITION (__batch_id={batch_id})"
+    )
+    fs_delete(spark, f"{index_dir.rstrip('/')}/__batch_id={batch_id}")
+    (
+        stamped.write.mode("append")
+        .format("parquet")
+        .bucketBy(index_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .partitionBy("__batch_id")
+        .option("path", index_dir)
+        .saveAsTable(index_table)
+    )
+
+
 def bootstrap_lsh_index(
     docs: DataFrame,
     index_dir: str,
@@ -253,19 +388,27 @@ def bootstrap_lsh_index(
     num_hashes: int = 32,
     bands: int = 8,
     rows_per_band: int = 4,
+    index_table: str | None = None,
+    index_buckets: int = 32,
 ) -> None:
     """Seed ``index_dir`` with the band index of an existing corpus —
     the one-time batch backfill before the stream takes over. Stamped
     ``__batch_id = -1`` so streaming batches (ids ≥ 0) can never
-    collide with the bootstrap partition."""
+    collide with the bootstrap partition. With ``index_table`` set the
+    backfill is written through the bucketed catalog layout (see
+    :func:`register_lsh_index_table`); the table is registered first,
+    so a single call bootstraps the whole warehouse-scale setup."""
     sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
-    (
-        lsh_band_index(sigs, bands, rows_per_band)
-        .withColumn("__batch_id", F.lit(-1).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("__batch_id")
-        .parquet(index_dir)
-    )
+    idx = lsh_band_index(sigs, bands, rows_per_band)
+    spark = docs.sparkSession
+    fs_delete(spark, index_dir)  # a bootstrap replaces the whole index
+    if index_table is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+        register_lsh_index_table(
+            spark, index_table, index_dir, index_buckets,
+            doc_type=idx.schema["doc"].dataType.simpleString(),
+        )
+    _write_index_partition(idx, -1, index_dir, index_table, index_buckets)
 
 
 def incremental_near_dup_sink(
@@ -279,6 +422,8 @@ def incremental_near_dup_sink(
     rows_per_band: int = 4,
     compact_every: int | None = None,
     compact_max_partitions: int | None = None,
+    index_table: str | None = None,
+    index_buckets: int = 32,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function. Attach with::
 
@@ -310,7 +455,18 @@ def incremental_near_dup_sink(
     the K oldest batch partitions, so no single micro-batch absorbs a
     whole-corpus rewrite — the fix for the round-9 live-wire fold
     spike (22.8 s in one batch, SCALE.md); pick ``K > compact_every``
-    so reclaim keeps pace with partition arrival."""
+    so reclaim keeps pace with partition arrival.
+
+    ``index_table`` switches the corpus index to the BUCKETED catalog
+    layout on (band, bucket) — the warehouse-scale posture this
+    module's docstring names (round-9 VERDICT item 2). The per-batch
+    mine then reads the corpus through the catalog, whose bucket spec
+    lets the planner elide the corpus-side shuffle Exchange entirely:
+    only the MICRO-BATCH side hashes into the corpus's layout, so
+    per-batch join cost stops carrying a corpus-sized re-shuffle. Use
+    :func:`bootstrap_lsh_index` with the same ``index_table`` (or
+    :func:`register_lsh_index_table` on a fresh session) first;
+    ``index_buckets`` must match the registered spec."""
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -322,7 +478,14 @@ def incremental_near_dup_sink(
         new_idx = lsh_band_index(sigs, bands, rows_per_band).localCheckpoint(
             eager=True
         )
-        if fs_exists(spark, index_dir):
+        if index_table is not None and spark.catalog.tableExists(index_table):
+            # catalog read — the bucket spec rides along, so the
+            # (band, bucket) join plans with NO Exchange on this side;
+            # the __batch_id predicate partition-prunes as before
+            corpus = spark.table(index_table).filter(F.col("__batch_id") < batch_id)
+        elif index_table is not None:
+            corpus = new_idx.limit(0)
+        elif fs_exists(spark, index_dir):
             # the corpus side is the index AS IT STOOD BEFORE THIS
             # BATCH (__batch_id < batch_id, partition-pruned): a
             # replayed batch then mines against exactly the same
@@ -358,12 +521,8 @@ def incremental_near_dup_sink(
         # index advances ONLY after the pairs write returned (ST2
         # ordering); __batch_id partitioning makes a replay overwrite
         # its own rows instead of double-appending
-        (
-            new_idx.withColumn("__batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(index_dir)
+        _write_index_partition(
+            new_idx, batch_id, index_dir, index_table, index_buckets
         )
         # in-sink maintenance: this thread is the stream's only writer
         # AND only reader of index_dir, so folding here cannot race a
@@ -375,6 +534,8 @@ def incremental_near_dup_sink(
                 index_dir,
                 upto_batch_id=batch_id - 1,
                 max_fold_partitions=compact_max_partitions,
+                index_table=index_table,
+                index_buckets=index_buckets,
             )
 
     return mine_batch
