@@ -135,3 +135,37 @@ def test_simhash_probe_refuses_unsentineled_corpus(tmp_path):
 
     with _pytest.raises(SystemExit, match="_CORPUS_COMPLETE"):
         signatures_for(None, str(tmp_path), str(tmp_path), "x1")
+
+
+def test_bench_abab_best_of_and_summary():
+    """bench_abab adjudication math: best-of per tree, common-set
+    ratios a/b, median/p90/over-2x, asymmetric query sets reported
+    rather than silently dropped."""
+    from scripts.bench_abab import best_of, summarize
+
+    runs_a = [
+        {"queries": {"q1": 2.0, "q2": 4.0, "q3": 1.0}},
+        {"queries": {"q1": 1.0, "q2": 6.0, "q3": 0.5, "q_new": 9.0}},
+    ]
+    runs_b = [
+        {"queries": {"q1": 1.0, "q2": 1.0, "q_old": 5.0}},
+        {"queries": {"q1": 2.0, "q2": 1.5, "q_old": 4.0}},
+    ]
+    ba, bb = best_of(runs_a), best_of(runs_b)
+    assert ba == {"q1": 1.0, "q2": 4.0, "q3": 0.5, "q_new": 9.0}
+    assert bb == {"q1": 1.0, "q2": 1.0, "q_old": 4.0}
+
+    s = summarize(ba, bb)
+    assert s["common_queries"] == 2
+    assert s["only_a"] == ["q3", "q_new"]
+    assert s["only_b"] == ["q_old"]
+    assert s["per_query"]["q1"]["ratio"] == 1.0
+    assert s["per_query"]["q2"]["ratio"] == 4.0
+    assert s["median_ratio"] == 2.5
+    assert s["over_2x"] == ["q2"]
+    assert s["total_a"] == 5.0 and s["total_b"] == 2.0
+
+    # zero-time b entries do not divide by zero
+    s0 = summarize({"q": 1.0}, {"q": 0.0})
+    assert s0["per_query"]["q"]["ratio"] is None
+    assert s0["median_ratio"] is None
