@@ -38,6 +38,24 @@ def main() -> None:
     ap.add_argument("--batch-docs", type=int, default=48_000)
     ap.add_argument("--dup-every", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3, help="sink timings per layout (min wins)")
+    ap.add_argument(
+        "--tiered-k",
+        type=int,
+        default=0,
+        help="also run a TIERED-fold arm (round-9 VERDICT item 6): "
+        "replay the stream's fold cadence over the fragmented layout "
+        "with max_fold_partitions=K, timing EVERY fold — the claim is "
+        "bounded per-cadence fold latency (no whole-corpus rewrite in "
+        "one trigger) while end-state batch cost still matches the "
+        "fully compacted layout",
+    )
+    ap.add_argument(
+        "--tiered-cadence",
+        type=int,
+        default=8,
+        help="simulated compact_every for the tiered arm (a fold per "
+        "this many accrued partitions)",
+    )
     args = ap.parse_args()
 
     from webscrap_datapipeline_spark.operators.dedup import (
@@ -74,7 +92,50 @@ def main() -> None:
         .parquet(frag_dir)
     )
     shutil.copytree(frag_dir, comp_dir)
+    tier_dir = os.path.join(workdir, "idx_tiered")
+    if args.tiered_k:
+        shutil.copytree(frag_dir, tier_dir)
+    t_full = time.monotonic()
     comp_stats = compact_lsh_index(spark, comp_dir, upto_batch_id=args.partitions)
+    full_fold_s = time.monotonic() - t_full
+
+    tier_stats = None
+    if args.tiered_k:
+        # replay the stream's maintenance cadence over the aged layout:
+        # one bounded fold per --tiered-cadence accrued partitions, as
+        # the sink's compact_every + compact_max_partitions would run it
+        fold_times = []
+        for upto in range(args.tiered_cadence - 1, args.partitions + 1, args.tiered_cadence):
+            t0 = time.monotonic()
+            compact_lsh_index(
+                spark,
+                tier_dir,
+                upto_batch_id=upto,
+                max_fold_partitions=args.tiered_k,
+            )
+            fold_times.append(time.monotonic() - t0)
+        # drain the backlog the short replay leaves (a real stream keeps
+        # folding on cadence; the replay has a fixed horizon)
+        while True:
+            t0 = time.monotonic()
+            st = compact_lsh_index(
+                spark,
+                tier_dir,
+                upto_batch_id=args.partitions,
+                max_fold_partitions=args.tiered_k,
+            )
+            if st["folded_partitions"] == 0 and "merged_chunks" not in st:
+                break
+            fold_times.append(time.monotonic() - t0)
+        tier_stats = {
+            "folds": len(fold_times),
+            "fold_s_max": round(max(fold_times), 2),
+            "fold_s_p50": round(sorted(fold_times)[len(fold_times) // 2], 2),
+            "fold_s_total": round(sum(fold_times), 2),
+            "partitions_end": len(
+                [d for d in os.listdir(tier_dir) if d.startswith("__batch_id=")]
+            ),
+        }
 
     # the measured micro-batch: dup_every-th doc duplicates a corpus doc
     batch = spark.range(args.batch_docs).select(
@@ -106,20 +167,28 @@ def main() -> None:
 
     frag_s = time_sink(frag_dir)
     comp_s = time_sink(comp_dir)
-    print(
-        json.dumps(
+    out = {
+        "metric": "compaction_probe",
+        "corpus_docs": args.corpus_docs,
+        "partitions_before": args.partitions,
+        "folded_partitions": comp_stats["folded_partitions"],
+        "batch_docs": args.batch_docs,
+        "fragmented_batch_s": round(frag_s, 2),
+        "compacted_batch_s": round(comp_s, 2),
+        "speedup": round(frag_s / comp_s, 2) if comp_s else None,
+        "full_fold_s": round(full_fold_s, 2),
+    }
+    if tier_stats is not None:
+        tier_batch_s = time_sink(tier_dir)
+        out.update(
             {
-                "metric": "compaction_probe",
-                "corpus_docs": args.corpus_docs,
-                "partitions_before": args.partitions,
-                "folded_partitions": comp_stats["folded_partitions"],
-                "batch_docs": args.batch_docs,
-                "fragmented_batch_s": round(frag_s, 2),
-                "compacted_batch_s": round(comp_s, 2),
-                "speedup": round(frag_s / comp_s, 2) if comp_s else None,
+                "tiered_k": args.tiered_k,
+                "tiered_cadence": args.tiered_cadence,
+                **{f"tiered_{k}": v for k, v in tier_stats.items()},
+                "tiered_batch_s": round(tier_batch_s, 2),
             }
         )
-    )
+    print(json.dumps(out))
     shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
 
