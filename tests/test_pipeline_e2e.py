@@ -354,13 +354,20 @@ def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
     _driver_history contract itself; plus a live check that the git
     gate really fires for the committed history."""
     from webscrap_datapipeline_spark.plans.registry import (
+        _DEFER_TO_ROUND,
         _ROWS_ONLY_PINNED,
         _module_changed_since_round,
         _rows_only_reentries,
         REGISTRY,
     )
 
-    rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
+    # mid-round deferred queries yield the window entirely — they are
+    # not re-entry candidates either (all scenarios below use
+    # latest_round=9)
+    deferred = {n for n, rnd in _DEFER_TO_ROUND.items() if 9 < rnd - 1}
+    rows_only = [
+        n for n, q in REGISTRY.items() if q.oracle is None and n not in deferred
+    ]
     assert len(rows_only) >= 3
     oracled = [n for n, q in REGISTRY.items() if q.oracle is not None]
 
