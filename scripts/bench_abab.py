@@ -39,7 +39,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(tree_dir: str, sf_dir: str, timeout: int) -> dict:
-    """One bench.py run in ``tree_dir``; returns the parsed JSON line."""
+    """One bench.py run in ``tree_dir``; returns the FULL per-query
+    record from the tree's bench_full.json (the stdout line truncates
+    to the slowest queries for the driver's tail capture — reading it
+    would silently drop the fast majority from the common set)."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     p = subprocess.run(
         [sys.executable, "bench.py"],
@@ -49,14 +52,14 @@ def run_bench(tree_dir: str, sf_dir: str, timeout: int) -> dict:
         text=True,
         timeout=timeout,
     )
-    for line in reversed(p.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise SystemExit(
-        f"bench.py in {tree_dir} produced no JSON line "
-        f"(exit {p.returncode}):\n{p.stderr[-2000:]}"
-    )
+    full = os.path.join(tree_dir, "bench_full.json")
+    if p.returncode != 0 or not os.path.exists(full):
+        raise SystemExit(
+            f"bench.py in {tree_dir} failed "
+            f"(exit {p.returncode}):\n{p.stderr[-2000:]}"
+        )
+    with open(full) as f:
+        return json.load(f)
 
 
 def best_of(runs: list[dict]) -> dict[str, float]:
