@@ -446,3 +446,64 @@ def test_profile_orders_distinct_expand_hash_aggregates(spark):
     for line in phys.splitlines():
         if "SortAggregate" in line:
             assert "key=[]" in line, line
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
+    """Spark's runtime Bloom-filter join reduction — the built-in
+    semi-join reducer that cuts the BIG side's shuffle by the small
+    side's selectivity at warehouse scale (round-10). Two pins:
+    (1) at the DEFAULT thresholds the optimizer does NOT inject a
+    filter for local-sized scans (applicationSideScanSizeThreshold is
+    10 GB — the feature is a big-scan optimization and must not tax
+    small joins); (2) once the application side crosses the threshold
+    (lowered here to simulate the 100 TB regime), a `might_contain`
+    predicate appears on the big side BEFORE its shuffle, and the join
+    result is unchanged — the reduction is a superset pre-filter, not
+    a semantics change."""
+    big_p = str(tmp_path / "big")
+    small_p = str(tmp_path / "small")
+    spark.range(200_000).selectExpr(
+        "id", "id % 1000 as k", "rand(7) as v"
+    ).write.mode("overwrite").parquet(big_p)
+    spark.range(1000).selectExpr("id as k", "rand(5) as w").write.mode(
+        "overwrite"
+    ).parquet(small_p)
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # broadcast off so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def plan():
+            big = spark.read.parquet(big_p)
+            small = spark.read.parquet(small_p).filter("w < 0.02")
+            j = big.join(small, "k")
+            return j, j._jdf.queryExecution().executedPlan().toString()
+
+        _, default_plan = plan()
+        assert "might_contain" not in default_plan  # (1)
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        j, lowered_plan = plan()
+        assert "might_contain" in lowered_plan  # (2): injected
+        # the bloom probe must sit on the application (big) side below
+        # the join, i.e. before that side's Exchange
+        probe_line = next(
+            ln for ln in lowered_plan.splitlines() if "might_contain" in ln
+        )
+        assert "xxhash64(k" in probe_line
+        # semantics unchanged: superset pre-filter + exact join
+        spark.conf.set(keys[1], saved[keys[1]] or "10GB")
+        j_ref, _ = plan()
+        assert j.count() == j_ref.count()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
