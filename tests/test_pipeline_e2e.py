@@ -345,17 +345,24 @@ def test_driver_window_is_least_recently_verified_rotation():
 
 
 def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
-    """round-9 VERDICT item 3: a rows-only query whose implementing
-    module changed since its last driver-seen round re-enters the
-    window (bucket 2) — but capped at the slots left after pins,
-    never-green oracled rows, never-seen rows, and the FULL oldest-
-    green cohort, so re-entries can never stall the freshness floor
-    (item 8). Pure-function test over synthetic histories, like the
-    _driver_history contract itself; plus a live check that the git
+    """round-9 VERDICT item 3 + round-10 VERDICT item 2: a rows-only
+    query re-enters the window (bucket 2) when its implementing module
+    changed since its last driver-seen round OR its record is at least
+    _MAX_ROWS_ONLY_AGE rounds old. Module-changed re-entries are capped
+    at the slots left after pins, never-green oracled rows, never-seen
+    rows, and the FULL oldest-green cohort, so they can never stall the
+    freshness floor (item 8); age-triggered re-entries additionally
+    hold up to _AGE_REENTRY_SLOTS guaranteed slots borrowed from the
+    cohort's tail, so an ancient record refreshes even when the cohort
+    fills the window. Pure-function test over synthetic histories, like
+    the _driver_history contract itself; plus a live check that the git
     gate really fires for the committed history."""
     from webscrap_datapipeline_spark.plans.registry import (
+        _AGE_REENTRY_SLOTS,
         _DEFER_TO_ROUND,
+        _MAX_ROWS_ONLY_AGE,
         _ROWS_ONLY_PINNED,
+        _driver_history,
         _module_changed_since_round,
         _rows_only_reentries,
         REGISTRY,
@@ -370,13 +377,32 @@ def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
     ]
     assert len(rows_only) >= 3
     oracled = [n for n, q in REGISTRY.items() if q.oracle is not None]
+    fresh = 9 - _MAX_ROWS_ONLY_AGE + 1  # seen-round just inside freshness
 
     # synthetic history: every oracled query green in round 7 (cohort
-    # consumes the whole window) -> zero free slots, no re-entries even
-    # though every rows-only module "changed"
+    # consumes the whole window) -> zero free slots, no FRESH re-entries
+    # even though every rows-only module "changed"
     lg_full = {n: 7 for n in oracled}
-    ls = {n: 3 for n in rows_only} | lg_full
+    ls = {n: fresh for n in rows_only} | lg_full
     got = _rows_only_reentries(lg_full, ls, 9, lambda n, r: True)
+    assert got == frozenset()
+
+    # ...but AGED records override the full cohort: seen exactly
+    # _MAX_ROWS_ONLY_AGE rounds ago, module UNchanged -> the guaranteed
+    # floor admits up to _AGE_REENTRY_SLOTS of the oldest candidates
+    ls_aged = {n: 9 - _MAX_ROWS_ONLY_AGE for n in rows_only} | lg_full
+    got = _rows_only_reentries(lg_full, ls_aged, 9, lambda n, r: False)
+    assert len(got) == min(len(rows_only), _AGE_REENTRY_SLOTS)
+    # oldest-seen wins the guaranteed slots: make one candidate one
+    # round staler than its peers and it must be in the chosen set
+    stalest = sorted(rows_only)[-1]
+    ls_one = dict(ls_aged) | {stalest: 9 - _MAX_ROWS_ONLY_AGE - 1}
+    got = _rows_only_reentries(lg_full, ls_one, 9, lambda n, r: False)
+    assert stalest in got
+
+    # one round younger than the age bar, module unchanged -> nothing
+    ls_young = {n: 9 - _MAX_ROWS_ONLY_AGE + 1 for n in rows_only} | lg_full
+    got = _rows_only_reentries(lg_full, ls_young, 9, lambda n, r: False)
     assert got == frozenset()
 
     # cohort of 40 + nothing else pending -> 10 free slots, all
@@ -385,7 +411,8 @@ def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
     got = _rows_only_reentries(lg_small, ls, 9, lambda n, r: True)
     assert got == frozenset(rows_only)
 
-    # module-change gate: nothing changed -> nothing re-enters
+    # module-change gate: nothing changed (and nothing aged) ->
+    # nothing re-enters
     got = _rows_only_reentries(lg_small, ls, 9, lambda n, r: False)
     assert got == frozenset()
 
@@ -393,13 +420,14 @@ def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
     # _ROWS_ONLY_PINNED query wins one regardless of seen-age (here it
     # is the YOUNGEST-seen candidate, which would otherwise lose).
     # Green rounds sit ABOVE every _PINNED_FIRST round so no synthetic
-    # pin reactivates and eats a slot.
+    # pin reactivates and eats a slot; seen-rounds stay inside the age
+    # bar so the guaranteed floor stays out of this scenario.
     lg_tight = {n: (98 if i < 48 else 99) for i, n in enumerate(oracled)}
     free = 50 - sum(1 for r in lg_tight.values() if r == 98)
     assert free == 2 < len(rows_only)
     pinned = [n for n in _ROWS_ONLY_PINNED if n in rows_only]
     if pinned:
-        ls_pin = {n: (3 if n in pinned else 2) for n in rows_only} | lg_tight
+        ls_pin = {n: (fresh + 1 if n in pinned else fresh) for n in rows_only} | lg_tight
         got = _rows_only_reentries(lg_tight, ls_pin, 9, lambda n, r: True)
         assert set(pinned) <= got  # pin beats older-seen peers
         assert len(got) == free
@@ -409,6 +437,20 @@ def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
     # gate returns False for a round with no CORRECTNESS file
     assert _module_changed_since_round("embedding_ivf_topk", 3) is True
     assert _module_changed_since_round("embedding_ivf_topk", 9999) is False
+
+    # the live age rule: against the committed r1-r10 history, the
+    # three ancient rows-only records (r2/r3 era — round-10 VERDICT
+    # item 2 names them) re-enter the r11 window
+    lg_live, ls_live, latest_live = _driver_history()
+    if latest_live == 10:
+        got = _rows_only_reentries(
+            lg_live, ls_live, latest_live, _module_changed_since_round
+        )
+        assert {
+            "minhash_lsh_near_dups",
+            "stratified_event_sample",
+            "approx_value_percentiles",
+        } <= got
 
 
 def test_scaled_parity_corpus_preserves_fk_integrity(spark, tmp_path):

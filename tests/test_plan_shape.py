@@ -504,6 +504,38 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
         j_ref, _ = plan()
         assert j.count() == j_ref.count()
     finally:
+        # restore OR unset: leaving the lowered 1KB threshold behind on
+        # an assertion failure would perturb every later test's plans in
+        # the session-scoped fixture (round-10 ADVICE item 5)
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_cms_estimate_broadcasts_the_sketch_not_a_shuffle(spark):
+    """round-10 ADVICE item 3: the probe side is the PRESERVED side of
+    the outer join (absent cells must estimate 0), and Spark cannot
+    build the preserved side — so the bounded depth×width sketch must
+    be the broadcast/build side or the join silently falls back to a
+    two-sided shuffle. Pin BroadcastHashJoin ... LeftOuter, BuildRight
+    in the physical plan, and no Exchange on the probe side below the
+    join."""
+    from webscrap_datapipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    items = spark.range(10_000).selectExpr("cast(id % 97 as string) as token")
+    probes = spark.range(50).selectExpr("cast(id as string) as token")
+    est = cms_estimate(count_min_sketch(items, width=64), probes, width=64)
+    plan = plan_str(est, "extended")
+    join_line = next(
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    )
+    assert "LeftOuter" in join_line and "BuildRight" in join_line, join_line
+    # correctness of the preserved side survives the broadcast: a probe
+    # absent from every sketch cell still estimates (via the min over
+    # its cells) rather than vanishing
+    assert est.count() == 50

@@ -902,6 +902,79 @@ def test_sink_compact_every_folds_inside_the_batch_thread(spark, tmp_path):
     assert got == {("n3", "c1"), ("n3", "n2")}
 
 
+def test_sink_compaction_follows_non_string_doc_type(spark, tmp_path):
+    """round-10 ADVICE item 1: the in-sink fold must read the plain
+    index with the STREAM'S id type, not the string default — a
+    long-keyed stream previously died on a parquet type conversion at
+    its first compaction cadence. Pins: the fold succeeds, the folded
+    index keeps doc as bigint, and mining across the fold boundary
+    still finds pairs."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    bootstrap_lsh_index(
+        spark.createDataFrame([(100, t_a)], "doc_id long, text string"), index_dir
+    )
+    sink = incremental_near_dup_sink(index_dir, pairs_dir, compact_every=2)
+    mk = lambda d, t: spark.createDataFrame([(d, t)], "doc_id long, text string")
+    sink(mk(200, t_b), 0)
+    sink(mk(201, t_b), 1)
+    sink(mk(202, t_a), 2)  # fold of {-1, 0, 1} — crashed pre-fix
+
+    idx = spark.read.parquet(index_dir)
+    assert dict(idx.dtypes)["doc"] == "bigint"
+    assert {r[0] for r in idx.select("__batch_id").distinct().collect()} == {-2, 2}
+    sink(mk(300, t_a), 3)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 3).collect()
+    }
+    assert got == {(300, 100), (300, 202)}
+
+
+def test_sink_reregisters_bucketed_table_from_on_disk_index(spark, tmp_path):
+    """round-10 ADVICE item 2: index_table set, the catalog entry
+    missing (fresh metastore), but index_dir already populated — the
+    sink must re-register and mine against the REAL corpus, never fall
+    through to an empty one (which would permanently and silently lose
+    that batch's pairs against the entire prior corpus)."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    table = "lsh_idx_reregister_test"
+    corpus = spark.createDataFrame([("c1", t_a)], "doc_id string, text string")
+    bootstrap_lsh_index(corpus, index_dir, index_table=table, index_buckets=8)
+    # simulate the fresh-metastore session: catalog entry gone, files
+    # (bucketed layout, bucket ids in the names) still on disk
+    spark.sql(f"DROP TABLE {table}")
+    assert not spark.catalog.tableExists(table)
+
+    sink = incremental_near_dup_sink(
+        index_dir, pairs_dir, index_table=table, index_buckets=8
+    )
+    sink(
+        spark.createDataFrame([("n1", t_a)], "doc_id string, text string"), 0
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 0).collect()
+    }
+    assert got == {("n1", "c1")}  # pre-fix: empty — the corpus was dropped
+    assert spark.catalog.tableExists(table)  # registered as a side effect
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_tiered_compaction_bounds_fold_width_and_clamps_to_checkpoint(
     spark, tmp_path
 ):

@@ -95,8 +95,17 @@ def cms_estimate(
     ``depth`` cells, join the sketch on (row, bucket), take the MIN
     cell count. Absent cells count 0 (left join + coalesce), so probing
     a never-seen item correctly estimates 0 instead of dropping the
-    row. Output: (col, est_count). The probe side is the small side by
-    construction — broadcast it, never the sketch-scan."""
+    row. Output: (col, est_count).
+
+    Join posture: the SKETCH is the broadcast side — it is bounded at
+    depth×width rows by construction (fixed space is the whole point of
+    the sketch), so the broadcast is corpus-size-independent and the
+    probe side streams, scaling to arbitrarily many probes. It must
+    also be the broadcast side structurally: the probes are the
+    PRESERVED side of the outer join (absent cells → 0), and Spark
+    cannot build the preserved side of an outer join — a hint on the
+    probes would be silently ignored and the join would fall back to a
+    two-sided shuffle (round-10 ADVICE item 3)."""
     cells = probes.select(
         F.col(col),
         F.explode(
@@ -114,8 +123,7 @@ def cms_estimate(
         ).alias("cell"),
     ).select(col, "cell.row", "cell.bucket")
     return (
-        F.broadcast(cells)
-        .join(sketch, ["row", "bucket"], "left")
+        cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

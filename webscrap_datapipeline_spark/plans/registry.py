@@ -124,7 +124,15 @@ def _module_changed_since_round(query_name: str, round_no: int) -> bool:
     git rather than a hand-maintained list, same rationale as
     :func:`_driver_history`; any failure (no git, shallow copy,
     untracked file) degrades to False — the query then stays in the
-    yield bucket, which never steals a freshness slot by accident."""
+    yield bucket, which never steals a freshness slot by accident.
+
+    "After" is decided by COMMIT ANCESTRY, not committer timestamps:
+    ``git rev-list --count <record-commit>..HEAD -- <module>`` asks
+    whether the module has any commit the record's last commit is an
+    ancestor of — the history-order question. Timestamps are not
+    monotonic with history (rebases, cherry-picks, clock skew), so the
+    previous ``%ct`` comparison could mis-schedule in both directions
+    (round-10 ADVICE item 4)."""
     import inspect
     import os
     import re
@@ -132,18 +140,18 @@ def _module_changed_since_round(query_name: str, round_no: int) -> bool:
 
     repo_root = _repo_root()
 
-    def commit_ts(rel_path: str) -> int:
+    def git(*args: str) -> str | None:
         try:
-            out = subprocess.run(
-                ["git", "log", "-1", "--format=%ct", "--", rel_path],
+            p = subprocess.run(
+                ["git", *args],
                 cwd=repo_root,
                 capture_output=True,
                 text=True,
                 timeout=10,
-            ).stdout.strip()
-            return int(out) if out else 0
-        except (OSError, ValueError, subprocess.SubprocessError):
-            return 0
+            )
+            return p.stdout.strip() if p.returncode == 0 else None
+        except (OSError, subprocess.SubprocessError):
+            return None
 
     record = next(
         (
@@ -160,8 +168,14 @@ def _module_changed_since_round(query_name: str, round_no: int) -> bool:
         mod_file = os.path.relpath(inspect.getfile(REGISTRY[query_name].fn), repo_root)
     except (TypeError, OSError, KeyError):
         return False
-    record_ts, mod_ts = commit_ts(record), commit_ts(mod_file)
-    return bool(record_ts and mod_ts and mod_ts > record_ts)
+    record_sha = git("log", "-1", "--format=%H", "--", record)
+    if not record_sha:
+        return False
+    n = git("rev-list", "--count", f"{record_sha}..HEAD", "--", mod_file)
+    try:
+        return int(n) > 0 if n is not None else False
+    except ValueError:
+        return False
 
 # Queries added MID-round, after the current window's 50-slot budget was
 # already allocated. A deferred query sorts LAST until the CORRECTNESS
@@ -233,6 +247,25 @@ _ROWS_ONLY_PINNED: dict[str, int] = {
     "embedding_ivf_topk": 10,
 }
 
+# Age-based rows-only re-entry (round-10 VERDICT item 2): a rows-only
+# driver record this many rounds old re-enters the window even when the
+# implementing module is unchanged — an r2/r3-era "it executed" row
+# carries little evidentiary weight eight rounds later, and the
+# module-changed rule alone never refreshes untouched code
+# (minhash_lsh_near_dups r3, stratified_event_sample r3,
+# approx_value_percentiles r2 were permanently stale under it).
+_MAX_ROWS_ONLY_AGE = 6
+
+# Age-triggered re-entries get up to this many GUARANTEED slots even
+# when the oldest-green cohort fills the window (it did in r11: the r8
+# cohort is exactly 50 queries). Each guaranteed slot displaces the
+# TAIL of that cohort by one round — deliberately the right trade: an
+# 8-round-stale "it executed" row is far weaker evidence than a
+# 1-round-stale hash row, and without the guarantee the age rule could
+# never fire in a full window. Module-changed-only re-entries still
+# take leftover slots only, never cohort slots.
+_AGE_REENTRY_SLOTS = 3
+
 
 def _rows_only_reentries(
     last_green: dict[str, int],
@@ -240,16 +273,23 @@ def _rows_only_reentries(
     latest_round: int,
     module_changed: Callable[[str, int], bool],
 ) -> frozenset[str]:
-    """Rows-only queries that RE-ENTER the driver window this round
-    (round-9 VERDICT item 3): driver-seen before, but their
-    implementing module changed since that round, so the stale record
-    no longer describes the committed code. Capped at the window slots
+    """Rows-only queries that RE-ENTER the driver window this round:
+    driver-seen before, but EITHER their implementing module changed
+    since that round (round-9 VERDICT item 3 — the stale record no
+    longer describes the committed code) OR the record is at least
+    ``_MAX_ROWS_ONLY_AGE`` rounds old (round-10 VERDICT item 2 —
+    unchanged code with an ancient record still deserves a periodic
+    refresh). Capped at the window slots
     LEFT OVER after (a) active plan-change pins, (b) oracled queries
     with no green row yet, (c) never-seen rows-only queries, and
     (d) the full oldest-green cohort — so re-entries never stall the
     freshness floor (round-9 VERDICT item 8: the floor must keep
-    advancing). Within the cap: explicit _ROWS_ONLY_PINNED first, then
-    oldest-seen first, name as the total-order tiebreak."""
+    advancing) — EXCEPT that age-triggered candidates hold up to
+    ``_AGE_REENTRY_SLOTS`` guaranteed slots taken from the cohort's
+    tail when the cohort alone fills the window (see the constant's
+    comment for why that trade is correct). Within the cap: explicit
+    _ROWS_ONLY_PINNED first, then oldest-seen first, name as the
+    total-order tiebreak."""
     pins = sum(
         1 for n, rnd in _PINNED_FIRST.items()
         if n in REGISTRY and last_green.get(n, 0) < rnd
@@ -274,7 +314,8 @@ def _rows_only_reentries(
     oldest_cohort = (
         sum(1 for r in green_rounds if r == min(green_rounds)) if green_rounds else 0
     )
-    free = max(0, _WINDOW_SLOTS - pins - never_green - never_seen - oldest_cohort)
+    budget = max(0, _WINDOW_SLOTS - pins - never_green - never_seen)
+    free = max(0, budget - oldest_cohort)
     candidates = sorted(
         (
             n
@@ -282,7 +323,10 @@ def _rows_only_reentries(
             if q.oracle is None
             and n in last_seen
             and n not in deferred
-            and module_changed(n, last_seen[n])
+            and (
+                module_changed(n, last_seen[n])
+                or latest_round - last_seen[n] >= _MAX_ROWS_ONLY_AGE
+            )
         ),
         key=lambda n: (
             0
@@ -292,7 +336,15 @@ def _rows_only_reentries(
             n,
         ),
     )
-    return frozenset(candidates[:free])
+    # guaranteed floor for EXTREME staleness only: when the oldest-green
+    # cohort leaves no free slots, up to _AGE_REENTRY_SLOTS of the
+    # oldest candidates still enter (bounded by the post-mandatory
+    # budget so they can never evict a pin or a never-verified query)
+    aged = sum(
+        1 for n in candidates if latest_round - last_seen[n] >= _MAX_ROWS_ONLY_AGE
+    )
+    take = max(free, min(aged, _AGE_REENTRY_SLOTS, budget))
+    return frozenset(candidates[:take])
 
 
 def _ordered_names() -> list[str]:

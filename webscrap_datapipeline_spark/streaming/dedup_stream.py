@@ -478,13 +478,34 @@ def incremental_near_dup_sink(
         new_idx = lsh_band_index(sigs, bands, rows_per_band).localCheckpoint(
             eager=True
         )
-        if index_table is not None and spark.catalog.tableExists(index_table):
-            # catalog read — the bucket spec rides along, so the
-            # (band, bucket) join plans with NO Exchange on this side;
-            # the __batch_id predicate partition-prunes as before
-            corpus = spark.table(index_table).filter(F.col("__batch_id") < batch_id)
-        elif index_table is not None:
-            corpus = new_idx.limit(0)
+        if index_table is not None:
+            if not spark.catalog.tableExists(index_table) and fs_exists(
+                spark, index_dir
+            ):
+                # on-disk index without a catalog entry (fresh
+                # metastore, or a bootstrap that skipped
+                # register_lsh_index_table): register before choosing
+                # the corpus side — falling through to an empty corpus
+                # would silently and PERMANENTLY lose this batch's
+                # pairs against the entire prior corpus (round-10
+                # ADVICE item 2). If the dir was written by the PLAIN
+                # layout (no bucket ids in file names), the first
+                # corpus scan fails loudly ("Invalid bucket file")
+                # instead — recoverable, unlike lost pairs.
+                register_lsh_index_table(
+                    spark, index_table, index_dir, index_buckets,
+                    doc_type=new_idx.schema["doc"].dataType.simpleString(),
+                )
+            if spark.catalog.tableExists(index_table):
+                # catalog read — the bucket spec rides along, so the
+                # (band, bucket) join plans with NO Exchange on this
+                # side; the __batch_id predicate partition-prunes
+                corpus = spark.table(index_table).filter(
+                    F.col("__batch_id") < batch_id
+                )
+            else:
+                # genuinely fresh: no table AND no on-disk index
+                corpus = new_idx.limit(0)
         elif fs_exists(spark, index_dir):
             # the corpus side is the index AS IT STOOD BEFORE THIS
             # BATCH (__batch_id < batch_id, partition-pruned): a
@@ -534,6 +555,12 @@ def incremental_near_dup_sink(
                 index_dir,
                 upto_batch_id=batch_id - 1,
                 max_fold_partitions=compact_max_partitions,
+                # the plain-layout fold reads with an EXPLICIT schema;
+                # its doc column must follow the stream's id type, not
+                # the string default — a long-keyed stream's first
+                # in-sink fold otherwise dies on a parquet type
+                # conversion (round-10 ADVICE item 1)
+                doc_type=new_idx.schema["doc"].dataType.simpleString(),
                 index_table=index_table,
                 index_buckets=index_buckets,
             )
