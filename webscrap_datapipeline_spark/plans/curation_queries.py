@@ -657,6 +657,151 @@ def kmeans_one_step_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_update(assigned, "embedding", cluster_col="cid", round_dp=6)
 
 
+# One SQL Lloyd iteration: assign `src` (vec_id, embedding) to the
+# nearest `cent` (cid, ce) centroid (argmin L2, cid tiebreak — the
+# proven kmeans_one_step_seeded shape), then emit the next codebook as
+# decimal-exact 6-dp-rounded per-dim means, empty cells keeping their
+# previous centroid (standard Lloyd's, COALESCE on the left join).
+def _sql_lloyd_iter(src: str, cent: str, out: str) -> str:
+    return f"""
+    {out}_a0 AS (
+      SELECT s.vec_id, s.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY {_L2.format(a="s.embedding", b="c.ce")} ASC, c.cid ASC
+             ) AS r
+      FROM {src} s CROSS JOIN {cent} c
+    ), {out}_m AS (
+      SELECT cid, CAST(d.i AS INT) AS dim,
+             round(CAST(SUM(CAST(d.x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+               AS new_m
+      FROM {out}_a0,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                           unnest(embedding) AS x) d
+      WHERE r = 1 GROUP BY 1, 2
+    ), {out} AS (
+      SELECT c.cid,
+             COALESCE(m.ce, list_transform(c.ce, x -> x::DOUBLE)) AS ce
+      FROM {cent} c
+      LEFT JOIN (
+        SELECT cid, list(new_m ORDER BY dim ASC) AS ce FROM {out}_m GROUP BY cid
+      ) m USING (cid)
+    )"""
+
+
+@query(
+    "embedding_ivf_trained_topk",
+    # The TRAINED IVF path, hash-verified end-to-end (round-10 VERDICT
+    # item 6): both Lloyd iterations are unrolled in SQL — ASSIGN is
+    # the proven argmin-L2-with-cid-tiebreak sequential fold
+    # (kmeans_one_step_seeded's green row pins Spark's F.aggregate ==
+    # DuckDB's list_sum), UPDATE is the proven decimal-exact
+    # 6-dp-rounded mean, and the search half is the proven
+    # embedding_ivf_seeded_topk replay. Rounding each iteration's
+    # codebook to 6 dp is what makes the cross-engine floats identical
+    # plan literals rather than accumulated ulp drift.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+    ), cent0 AS (
+      SELECT cid, ce FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS INT) AS cid,
+               embedding AS ce
+        FROM corpus WHERE vec_id % 61 = 8
+      ) WHERE cid <= 8
+    ), {_sql_lloyd_iter("corpus", "cent0", "cent1")},
+    {_sql_lloyd_iter("corpus", "cent1", "cent2")},
+    assign0 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_L2.format(a="embedding", b="ce")} ASC, cid ASC
+             ) AS r
+      FROM corpus CROSS JOIN cent2
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM assign0 WHERE r = 1
+    ), probe0 AS (
+      SELECT query_id, qe, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_L2.format(a="qe", b="ce")} ASC, cid ASC
+             ) AS r
+      FROM q CROSS JOIN cent2
+    ), probes AS (
+      SELECT query_id, qe, cid FROM probe0 WHERE r <= 3
+    ), cand AS (
+      SELECT p.query_id, a.vec_id,
+             {_COS.format(a="a.embedding", b="p.qe")} AS score
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+    ), ranked AS (
+      SELECT query_id, vec_id, round(score, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS INT) AS rnk
+      FROM cand
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "knn", "ivf", "clustering"),
+)
+def embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for 5 queries against a TRAINED codebook: the
+    embedding_ivf_seeded_topk seeds refined by two decimal-exact Lloyd
+    iterations (operators/similarity.ivf_assign +
+    operators/clustering.lloyd_update, round_dp=6) before the
+    operators/similarity.ivf_search probe/rescore. Each iteration
+    collects the k × dim update relation (8 × 64 rows — driver-sized
+    by construction, the same codebook-collect pattern as the seeded
+    query) and rebuilds the plan-literal centroids, so training is a
+    fixed number of corpus scans and the serving plan stays
+    shuffle-free on the assignment side. The production trainer
+    (kmeans_fit's fused scaled-integer path, used by embedding_ivf_topk
+    / kmeans_embedding_clusters) keeps its pytest recall/determinism
+    pins; THIS query is the hash-green evidence that train→serve as a
+    whole computes the same answer as an independent engine."""
+    from ..operators.clustering import lloyd_update
+    from ..operators.similarity import ivf_assign, ivf_search
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    seed_rows = (
+        corpus.filter(F.col("vec_id") % 61 == 8)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()  # 8 rows — driver-sized by construction (the codebook)
+    )
+    centroids = [
+        (cid + 1, [float(x) for x in row["embedding"]])
+        for cid, row in enumerate(seed_rows)
+    ]
+    for _ in range(2):
+        assigned = ivf_assign(corpus, "embedding", centroids)
+        upd = lloyd_update(
+            assigned, "embedding", cluster_col="cid", round_dp=6
+        ).collect()  # k × dim rows — driver-sized by construction
+        means: dict[int, dict[int, float]] = {}
+        for r in upd:
+            means.setdefault(r["cid"], {})[r["dim"]] = float(r["new_m"])
+        centroids = [
+            (
+                cid,
+                [means[cid][d] for d in range(1, len(vec) + 1)]
+                if cid in means
+                else vec,  # empty cell keeps its centroid (Lloyd's)
+            )
+            for cid, vec in centroids
+        ]
+    out = ivf_search(corpus, queries_df, centroids, k=5, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
+    ).orderBy("query_id", "rnk")
+
+
 @query(
     "semantic_outlier_docs",
     # The label centroid CTE is the proven label_centroids relation
