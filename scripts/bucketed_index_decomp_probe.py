@@ -12,6 +12,16 @@ the sum of measured parts rather than a mystery.
 Run:
   python scripts/bucketed_index_decomp_probe.py --corpus-docs 384000 --batch-docs 60000
 
+``--replicate K`` builds the corpus index by replication (round-10
+VERDICT item 3: measure PAST the derived ~25x break-even, which is
+unreachable by honest minhashing in a local window): the bootstrap
+index is unioned K times with per-copy doc prefixes and per-copy
+REHASHED buckets (md5(bucket || copy)), so each copy keeps the
+original posting-list structure without cross-copy collisions — the
+batch's join output stays batch-realistic while the corpus side the
+join must move/scan grows K-fold, which is exactly the term under
+measurement.
+
 Prints ONE metrics JSON line on stdout.
 """
 
@@ -38,6 +48,7 @@ def main() -> None:
     ap.add_argument("--batch-docs", type=int, default=60_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--index-buckets", type=int, default=32)
+    ap.add_argument("--replicate", type=int, default=1)
     args = ap.parse_args()
 
     from webscrap_datapipeline_spark.operators.dedup import (
@@ -64,9 +75,40 @@ def main() -> None:
         synth_text(F.col("id")).alias("text"),
     )
     bootstrap_lsh_index(corpus, plain_dir)
-    bootstrap_lsh_index(
-        corpus, bkt_dir, index_table=table, index_buckets=args.index_buckets
-    )
+    if args.replicate > 1:
+        # eager checkpoint: the big index is written back INTO plain_dir,
+        # so the base must be materialized before the dir is removed
+        base_idx = (
+            spark.read.parquet(plain_dir)
+            .select("doc", "band", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        copies = [base_idx]
+        for c in range(1, args.replicate):
+            copies.append(
+                base_idx.select(
+                    F.concat(F.lit(f"r{c}_"), F.col("doc")).alias("doc"),
+                    "band",
+                    F.md5(F.concat(F.col("bucket"), F.lit(str(c)))).alias("bucket"),
+                )
+            )
+        big_idx = copies[0]
+        for c in copies[1:]:
+            big_idx = big_idx.unionByName(c)
+        shutil.rmtree(plain_dir, ignore_errors=True)
+        _write_index_partition(big_idx, -1, plain_dir, None, args.index_buckets)
+        from webscrap_datapipeline_spark.streaming.dedup_stream import (
+            register_lsh_index_table,
+        )
+
+        register_lsh_index_table(
+            spark, table, bkt_dir, num_buckets=args.index_buckets
+        )
+        _write_index_partition(big_idx, -1, bkt_dir, table, args.index_buckets)
+    else:
+        bootstrap_lsh_index(
+            corpus, bkt_dir, index_table=table, index_buckets=args.index_buckets
+        )
 
     # the batch: every 10th doc dups a corpus doc, others unique
     seed = F.when(
@@ -98,6 +140,27 @@ def main() -> None:
         lambda: incremental_lsh_candidates_from_index(bkt_corpus, new_idx).count()
     )
 
+    # plan self-description: which regime this cell measured (round-11 —
+    # a broadcastable batch joins as BHJ with NO corpus Exchange in
+    # EITHER layout; only above-envelope batches show the 4-vs-3
+    # Exchange elision the bucketed layout exists for)
+    def join_shape(corpus):
+        p = (
+            incremental_lsh_candidates_from_index(corpus, new_idx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        kind = (
+            "broadcast"
+            if "BroadcastHashJoin" in p
+            else ("smj" if "SortMergeJoin" in p else "other")
+        )
+        return kind, p.count("Exchange hashpartitioning")
+
+    plain_join, plain_ex = join_shape(plain_corpus)
+    bkt_join, bkt_ex = join_shape(bkt_corpus)
+
     # WRITE PATH: per-batch index append (distinct batch ids per repeat,
     # then removed, so each repeat appends the same volume fresh)
     def append_plain():
@@ -119,15 +182,22 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "bucketed_index_decomposition",
-                "corpus_docs": args.corpus_docs,
+                "corpus_docs": args.corpus_docs * args.replicate,
+                "replicate": args.replicate,
                 "batch_docs": args.batch_docs,
                 "index_buckets": args.index_buckets,
                 "mine_plain_s": mine_plain_s,
                 "mine_bucketed_s": mine_bkt_s,
+                "join_plain": plain_join,
+                "join_bucketed": bkt_join,
+                "exchanges_plain": plain_ex,
+                "exchanges_bucketed": bkt_ex,
                 "append_plain_s": append_plain_s,
                 "append_bucketed_s": append_bkt_s,
                 "read_path_delta_s": round(mine_bkt_s - mine_plain_s, 2),
                 "write_path_delta_s": round(append_bkt_s - append_plain_s, 2),
+                "per_batch_plain_s": round(mine_plain_s + append_plain_s, 2),
+                "per_batch_bucketed_s": round(mine_bkt_s + append_bkt_s, 2),
             }
         )
     )

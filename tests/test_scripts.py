@@ -169,3 +169,36 @@ def test_bench_abab_best_of_and_summary():
     s0 = summarize({"q": 1.0}, {"q": 0.0})
     assert s0["per_query"]["q"]["ratio"] is None
     assert s0["median_ratio"] is None
+
+
+def test_backlog_drain_stats_reconstructs_peak_and_catch_up():
+    """streaming_dedup_probe.backlog_drain_stats (round-10 VERDICT item
+    4): given batch progress entries, the reconstruction must place the
+    backlog peak at the stalled batch's END, report catch-up at the
+    first later zero-crossing of the nominal-offered-minus-admitted
+    curve, and compute the drain rate over exactly that span."""
+    from scripts.streaming_dedup_probe import backlog_drain_stats
+
+    def p(t_iso, rows, dur_ms):
+        return {"timestamp": t_iso, "numInputRows": rows, "batchDuration": dur_ms}
+
+    progress = [
+        # steady batch: 100 rows in 1 s at offered 100/s -> backlog 0
+        p("2026-01-01T00:00:00.000Z", 100, 1000),
+        # outage batch: admits 100, stalls 10 s -> backlog 900 at its end
+        p("2026-01-01T00:00:01.000Z", 100, 10000),
+        # drain: full batches while offered keeps at 100/s
+        p("2026-01-01T00:00:11.000Z", 500, 1000),  # backlog 500
+        p("2026-01-01T00:00:12.000Z", 600, 1000),  # backlog 0 -> caught up
+    ]
+    got = backlog_drain_stats(progress, rate=100)
+    assert got["backlog_peak_rows"] == 900
+    assert got["caught_up"] is True
+    assert got["time_to_caught_up_s"] == 2.0
+    assert got["drain_rows_per_sec"] == 450.0
+    assert got["backlog_curve"] == [(1.0, 0), (11.0, 900), (12.0, 500), (13.0, 0)]
+
+    # never catches up: drain rate still reported over the tail slope
+    got = backlog_drain_stats(progress[:3], rate=100)
+    assert got["caught_up"] is False and got["time_to_caught_up_s"] is None
+    assert got["backlog_peak_rows"] == 900

@@ -902,6 +902,245 @@ def test_sink_compact_every_folds_inside_the_batch_thread(spark, tmp_path):
     assert got == {("n3", "c1"), ("n3", "n2")}
 
 
+def test_auto_layout_picks_and_sink_follows_the_disk(spark, tmp_path, monkeypatch):
+    """round-10 VERDICT item 3 (auto-switch): (1) choose_index_layout
+    implements the measured two-regime policy — plain for any batch
+    inside the broadcast envelope (no corpus shuffle exists to elide),
+    the >=8x corpus:batch break-even only above it; (2) an auto-layout
+    bootstrap below break-even writes PLAIN and registers no table;
+    (3) the sink handed the same index_table FOLLOWS the on-disk plain
+    layout — no 'Invalid bucket file', no lost pairs, no accidental
+    catalog entry; (4) above break-even auto writes bucketed and the
+    sink uses the catalog. (2)/(4) shrink the measured constants to
+    test-corpus scale — the mechanism under test is the plumbing, the
+    constants are measured policy pinned by (1)."""
+    from webscrap_datapipeline_spark.streaming import dedup_stream as ds
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        BROADCASTABLE_BATCH_DOCS,
+        BUCKETED_BREAKEVEN_RATIO,
+        bootstrap_lsh_index,
+        choose_index_layout,
+        incremental_near_dup_sink,
+    )
+
+    env, r = BROADCASTABLE_BATCH_DOCS, BUCKETED_BREAKEVEN_RATIO
+    # regime 1: broadcastable batch -> plain at ANY ratio
+    assert choose_index_layout(10**12, env - 1) == "plain"
+    # regime 2: above-envelope batch -> the ratio gate
+    assert choose_index_layout(env * r, env) == "bucketed"  # at the bar
+    assert choose_index_layout(env * r - 1, env) == "plain"  # just under
+    assert choose_index_layout(10**12, 0) == "plain"  # unknown batch
+    assert choose_index_layout(0, env) == "plain"  # empty corpus
+
+    # shrink the measured constants so a 10-30 doc corpus exercises
+    # both auto branches (see docstring)
+    monkeypatch.setattr(ds, "BROADCASTABLE_BATCH_DOCS", 1)
+    monkeypatch.setattr(ds, "BUCKETED_BREAKEVEN_RATIO", 25)
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    table = "lsh_idx_auto_layout_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    corpus = spark.createDataFrame(
+        [(f"c{i}", f"{t_a} {i}") for i in range(10)], "doc_id string, text string"
+    )
+
+    # 10-doc corpus, 1000-doc expected batches: far below break-even
+    plain_dir = str(tmp_path / "idx_plain")
+    got = bootstrap_lsh_index(
+        corpus, plain_dir, index_table=table, layout="auto",
+        expected_batch_docs=1000,
+    )
+    assert got == "plain"
+    assert not spark.catalog.tableExists(table)
+    sink = incremental_near_dup_sink(
+        str(plain_dir), str(tmp_path / "pairs_plain"), index_table=table
+    )
+    sink(
+        spark.createDataFrame([("n1", f"{t_a} 3")], "doc_id string, text string"), 0
+    )
+    got_pairs = {
+        (r_["doc_a"], r_["doc_b"])
+        for r_ in spark.read.parquet(str(tmp_path / "pairs_plain")).collect()
+    }
+    # the corpus docs are near-dups of each other by construction, so
+    # the exact pair set is wide; the property under test is that the
+    # batch mined against the REAL corpus (not an empty fall-through)
+    assert ("n1", "c3") in got_pairs
+    assert {b for _, b in got_pairs} <= {f"c{i}" for i in range(10)}
+    assert not spark.catalog.tableExists(table)  # still plain after the batch
+
+    # 30-doc corpus with 1-doc expected batches: ratio >= 25 holds,
+    # auto picks bucketed and registers the catalog entry
+    big_corpus = spark.createDataFrame(
+        [(f"c{i}", f"{t_a} {i}") for i in range(30)], "doc_id string, text string"
+    )
+    bkt_dir = str(tmp_path / "idx_bkt")
+    got = bootstrap_lsh_index(
+        big_corpus, bkt_dir, index_table=table, layout="auto", expected_batch_docs=1
+    )
+    assert got == "bucketed" and spark.catalog.tableExists(table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_migrate_plain_index_to_bucketed_preserves_mining(spark, tmp_path):
+    """migrate_lsh_index_to_bucketed: the maintenance-window layout
+    upgrade. Pins: post-migration the table exists, the whole index is
+    one consolidated bucketed partition with the same distinct
+    content, the next batch mines identical pairs through the catalog
+    read, and the committed-watermark guard refuses to fold a
+    partition that will replay."""
+    import pytest
+
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+        migrate_lsh_index_to_bucketed,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    table = "lsh_idx_migrate_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bootstrap_lsh_index(
+        spark.createDataFrame([("c1", t_a)], "doc_id string, text string"), index_dir
+    )
+    sink = incremental_near_dup_sink(index_dir, pairs_dir, index_table=table)
+    mk = lambda d, t: spark.createDataFrame([(d, t)], "doc_id string, text string")
+    sink(mk("n0", t_b), 0)
+    sink(mk("n1", t_b), 1)
+    distinct_before = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index_dir).select("doc", "band", "bucket").collect()
+    }
+
+    # watermark guard: a fake checkpoint whose commits stop at batch 0
+    # means partition 1 would replay -> refuse
+    ckpt = tmp_path / "ckpt" / "commits"
+    ckpt.mkdir(parents=True)
+    (ckpt / "0").write_text("v1")
+    with pytest.raises(ValueError, match="watermark"):
+        migrate_lsh_index_to_bucketed(
+            spark, index_dir, table, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+
+    (ckpt / "1").write_text("v1")  # batch 1 committed -> allowed
+    stats = migrate_lsh_index_to_bucketed(
+        spark, index_dir, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert stats["migrated_partitions"] == 3 and stats["rows"] == len(distinct_before)
+    assert spark.catalog.tableExists(table)
+    idx = spark.table(table)
+    assert {r[0] for r in idx.select("__batch_id").distinct().collect()} == {
+        stats["new_partition_id"]
+    }
+    assert {
+        (r["doc"], r["band"], r["bucket"])
+        for r in idx.select("doc", "band", "bucket").collect()
+    } == distinct_before
+
+    # the stream resumes THROUGH THE CATALOG and mines the same pairs
+    sink(mk("n2", t_b), 2)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 2).collect()
+    }
+    assert got == {("n2", "n0"), ("n2", "n1")}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compaction_crashed_nonatomic_publish_never_loses_rows(
+    spark, tmp_path, monkeypatch
+):
+    """round-10 VERDICT item 5: on object stores, rename is a
+    non-atomic copy+delete, so a crash mid-publish can leave a PARTIAL
+    consolidated partition. compact_lsh_index's documented degradation
+    contract is content-harmless-by-construction: the fold deletes the
+    source partitions only AFTER the publish, so a crashed publish
+    leaves every original row in place, the partial partition holds
+    only DUPLICATES of surviving rows (never the sole copy of
+    anything), the miner's distinct/collect_set absorbs them, and a
+    re-run fold re-distincts the partial away. This test simulates the
+    crash and pins all four properties."""
+    import shutil
+
+    import pytest
+
+    from webscrap_datapipeline_spark.streaming import dedup_stream as ds
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    ds.bootstrap_lsh_index(
+        spark.createDataFrame([("c1", t_a)], "doc_id string, text string"), index_dir
+    )
+    sink = ds.incremental_near_dup_sink(index_dir, pairs_dir)
+    mk = lambda d, t: spark.createDataFrame([(d, t)], "doc_id string, text string")
+    sink(mk("n0", t_b), 0)
+    sink(mk("n1", t_b), 1)
+    distinct_before = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index_dir).select("doc", "band", "bucket").collect()
+    }
+
+    real_rename = ds.fs_rename
+
+    def crash_mid_copy(spark_, src, dst):
+        # object-store rename = per-file copy + delete; die after the
+        # first data file lands in dst (a genuine half-published state)
+        os.makedirs(dst, exist_ok=True)
+        data = sorted(
+            f for f in os.listdir(src) if not f.startswith(("_", "."))
+        )
+        assert data
+        shutil.copy2(os.path.join(src, data[0]), os.path.join(dst, data[0]))
+        raise RuntimeError("simulated crash mid non-atomic publish")
+
+    monkeypatch.setattr(ds, "fs_rename", crash_mid_copy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ds.compact_lsh_index(spark, index_dir, upto_batch_id=1)
+    monkeypatch.setattr(ds, "fs_rename", real_rename)
+
+    # (1) no reader ever loses a row: originals still present, the
+    # partial partition adds only duplicates
+    idx = spark.read.parquet(index_dir)
+    parts = {r[0] for r in idx.select("__batch_id").distinct().collect()}
+    assert {-1, 0, 1} <= parts  # originals intact (delete never ran)
+    distinct_after = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in idx.select("doc", "band", "bucket").collect()
+    }
+    assert distinct_after == distinct_before
+
+    # (2) mining over the half-published index is unchanged — the
+    # posting-list distinct absorbs the duplicate rows
+    sink(mk("n2", t_a), 2)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 2).collect()
+    }
+    assert got == {("n2", "c1")}
+
+    # (3) re-running compaction converges: the partial chunk is folded
+    # in with the originals, re-distincted, and deleted
+    stats = ds.compact_lsh_index(spark, index_dir, upto_batch_id=1)
+    assert stats["folded_partitions"] >= 4  # {-1, 0, 1} + the partial
+    idx2 = spark.read.parquet(index_dir)
+    assert {
+        (r["doc"], r["band"], r["bucket"])
+        for r in idx2.select("doc", "band", "bucket").collect()
+    } == distinct_before | {
+        (r["doc"], r["band"], r["bucket"])
+        for r in idx2.filter(F.col("__batch_id") == 2)
+        .select("doc", "band", "bucket")
+        .collect()
+    }
+    # (4) and holds no duplicates afterwards
+    assert idx2.count() == idx2.select("doc", "band", "bucket").distinct().count()
+
+
 def test_sink_compaction_follows_non_string_doc_type(spark, tmp_path):
     """round-10 ADVICE item 1: the in-sink fold must read the plain
     index with the STREAM'S id type, not the string default — a
