@@ -1050,6 +1050,70 @@ def test_migrate_plain_index_to_bucketed_preserves_mining(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_index_retention_prunes_by_newest_ingest_and_bounds_the_corpus(
+    spark, tmp_path
+):
+    """round-11 retention (prune_lsh_index + the sink's retain_batches):
+    the one per-batch cost that grows without bound is the corpus
+    scan/shuffle of the mine join — retention bounds the ROW count the
+    way compaction bounds the FILE count. Pins: (1) the in-sink prune
+    keeps exactly the last N batches' content (a doc older than the
+    window no longer pairs; a doc inside it still does); (2) folds
+    write the .maxbatch age marker and a chunk is pruned only when its
+    NEWEST content expired; (3) an unmarked (legacy) chunk is never
+    pruned — unknown age fails safe."""
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        _max_ingest_batch,
+        bootstrap_lsh_index,
+        compact_lsh_index,
+        incremental_near_dup_sink,
+        prune_lsh_index,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    bootstrap_lsh_index(
+        spark.createDataFrame([("c1", t_a)], "doc_id string, text string"), index_dir
+    )
+    sink = incremental_near_dup_sink(index_dir, pairs_dir, retain_batches=2)
+    mk = lambda d, t: spark.createDataFrame([(d, t)], "doc_id string, text string")
+    sink(mk("n0", t_b), 0)  # window {-1, 0}: bootstrap expired? cutoff -1 -> keeps -1
+    sink(mk("n1", t_a), 1)  # cutoff 0: bootstrap partition (-1) pruned
+    parts = {
+        r[0]
+        for r in spark.read.parquet(index_dir).select("__batch_id").distinct().collect()
+    }
+    assert parts == {0, 1}  # bootstrap aged out of the 2-batch window
+    # n2 dups BOTH c1 (bootstrap, expired) and n1 (in-window): only the
+    # in-window pair is mined
+    sink(mk("n2", t_a), 2)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 2).collect()
+    }
+    assert got == {("n2", "n1")}
+
+    # (2) fold + marker: consolidate batches {1, 2} (0 was pruned at
+    # batch 2's cutoff=1) and verify the chunk carries max ingest 2,
+    # then expires exactly when batch 2 leaves the window
+    stats = compact_lsh_index(spark, index_dir, upto_batch_id=2)
+    cid = stats["new_partition_id"]
+    base = index_dir.rstrip("/")
+    assert _max_ingest_batch(spark, base, cid) == 2
+    assert prune_lsh_index(spark, index_dir, min_batch_id=2)["pruned_ids"] == []
+    assert prune_lsh_index(spark, index_dir, min_batch_id=3)["pruned_ids"] == [cid]
+
+    # (3) unmarked chunk: unknown age is never pruned
+    os.makedirs(f"{base}/__batch_id=-9", exist_ok=True)
+    spark.createDataFrame(
+        [("x", 0, "b")], "doc string, band int, bucket string"
+    ).write.mode("overwrite").parquet(f"{base}/__batch_id=-9")
+    assert _max_ingest_batch(spark, base, -9) is None
+    assert prune_lsh_index(spark, index_dir, min_batch_id=10**6)["pruned_ids"] == []
+
+
 def test_compaction_crashed_nonatomic_publish_never_loses_rows(
     spark, tmp_path, monkeypatch
 ):

@@ -62,6 +62,35 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, fs.makeQualified(jdst)))
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (overwrite) through the Hadoop
+    FileSystem API — marker/sidecar files next to data the engine
+    manages (e.g. compaction age markers), valid on any scheme."""
+    fs, jpath = hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file written by :func:`fs_write_text`;
+    None when absent."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+
+
 def fs_dir_size(spark: SparkSession, path: str) -> int:
     """Total bytes under ``path`` (0 if absent) — the size-tiered
     compaction picker's input. One namenode round-trip

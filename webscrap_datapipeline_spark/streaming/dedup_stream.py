@@ -54,7 +54,15 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..fsutil import fs_delete, fs_dir_size, fs_exists, fs_rename, list_child_names
+from ..fsutil import (
+    fs_delete,
+    fs_dir_size,
+    fs_exists,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+    list_child_names,
+)
 from ..operators.dedup import (
     incremental_lsh_candidates_from_index,
     lsh_band_index,
@@ -158,6 +166,78 @@ def _index_schema(doc_type: str = "string") -> T.StructType:
             T.StructField("__batch_id", T.LongType()),
         ]
     )
+
+
+def _max_ingest_batch(spark, base: str, part_id: int) -> int | None:
+    """The NEWEST ingest batch id a partition's rows came from: the id
+    itself for batch/bootstrap partitions (ids ≥ -1), the ``.maxbatch``
+    marker :func:`compact_lsh_index` writes for consolidated chunks
+    (ids < -1 — the fold drops the per-row ``__batch_id``, so age must
+    ride in a sidecar). None = unknown (pre-marker chunk, or a fold
+    whose sources were themselves unknown): retention treats unknown as
+    un-prunable, the direction that never deletes fresh docs."""
+    if part_id >= -1:
+        return part_id
+    txt = fs_read_text(spark, f"{base}/__batch_id={part_id}/.maxbatch")
+    if txt is None:
+        return None
+    try:
+        return int(txt.strip())
+    except ValueError:
+        return None
+
+
+def prune_lsh_index(
+    spark,
+    index_dir: str,
+    min_batch_id: int,
+    index_table: str | None = None,
+) -> dict:
+    """RETENTION for the streaming dedup index: delete partitions whose
+    NEWEST content was ingested before batch ``min_batch_id`` — the
+    bounded-corpus posture (dedup against the last N batches / days)
+    that keeps the one per-batch term that grows without bound, the
+    corpus scan/shuffle of the mine join, FLAT over the stream's
+    lifetime (the round-11 drain measurement showed that term eroding
+    recovery capacity as the index accretes; compaction bounds the
+    FILE count, only retention bounds the ROW count).
+
+    Granularity is the partition: batch partitions carry their ingest
+    id; consolidated chunks carry a ``.maxbatch`` marker and are
+    dropped only when EVERYTHING in them is expired (max < cutoff) —
+    conservative, so a chunk mixing old and fresh rows is retained
+    whole; the tiered compactor folds oldest-first, so chunks are
+    age-banded and expire cleanly in arrival order. The bootstrap
+    partition counts as ingest batch -1 and ages out like any other —
+    a deployment wanting a permanent base corpus keeps retention off
+    or re-bootstraps.
+
+    Concurrency/replay contract is compaction's: call with the stream
+    stopped or from inside its own foreachBatch thread (the sink's
+    ``retain_batches`` option does the latter). Deleting expired rows
+    changes a replay's pair output only for batches that never
+    committed — whose partition overwrite makes the retried output the
+    canonical one — so retention is replay-consistent by the same
+    argument as the pre-batch ``__batch_id < k`` corpus filter."""
+    base = index_dir.rstrip("/")
+    bucketed = index_table is not None and spark.catalog.tableExists(index_table)
+    removed = []
+    for name in list_child_names(spark, index_dir, dirs_only=True):
+        if not name.startswith("__batch_id="):
+            continue
+        v = int(name.split("=", 1)[1])
+        eff = _max_ingest_batch(spark, base, v)
+        if eff is None or eff >= min_batch_id:
+            continue
+        if bucketed:
+            spark.sql(
+                f"ALTER TABLE {index_table} DROP IF EXISTS PARTITION (__batch_id={v})"
+            )
+        fs_delete(spark, f"{base}/__batch_id={v}")
+        removed.append(v)
+    if removed and bucketed:
+        spark.sql(f"REFRESH TABLE {index_table}")
+    return {"pruned_partitions": len(removed), "pruned_ids": sorted(removed)}
 
 
 def compact_lsh_index(
@@ -305,6 +385,21 @@ def compact_lsh_index(
             consolidated.write.mode("overwrite").parquet(scratch)
         if not fs_rename(spark, scratch, f"{base}/__batch_id={new_id}"):  # pragma: no cover - FS race
             raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
+        # age marker for retention (prune_lsh_index): the fold drops the
+        # per-row __batch_id, so the chunk's NEWEST ingest id rides in a
+        # dot-prefixed sidecar Spark's file index ignores. Written after
+        # the publish, before the source delete — a crash in between
+        # leaves an unmarked chunk, which retention treats as
+        # un-prunable (safe). If any folded source is itself unmarked
+        # (pre-marker chunk), the age is unknown and no marker is
+        # written — same safe direction.
+        ingests = [_max_ingest_batch(spark, base, v) for v in ids]
+        if all(i is not None for i in ingests):
+            fs_write_text(
+                spark,
+                f"{base}/__batch_id={new_id}/.maxbatch",
+                str(max(ingests)),
+            )
         if bucketed:
             spark.sql(
                 f"ALTER TABLE {index_table} ADD IF NOT EXISTS "
@@ -607,6 +702,7 @@ def incremental_near_dup_sink(
     compact_max_partitions: int | None = None,
     index_table: str | None = None,
     index_buckets: int = 32,
+    retain_batches: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function. Attach with::
 
@@ -651,6 +747,18 @@ def incremental_near_dup_sink(
     :func:`bootstrap_lsh_index` with the same ``index_table`` (or
     :func:`register_lsh_index_table` on a fresh session) first;
     ``index_buckets`` must match the registered spec.
+
+    ``retain_batches=N`` is RETENTION (round 11): after each batch the
+    index keeps only content ingested in the last N batches
+    (:func:`prune_lsh_index`, cutoff ``batch_id - N + 1``) — the
+    bounded-corpus posture that holds the per-batch corpus scan/shuffle
+    FLAT over the stream's lifetime instead of growing with everything
+    ever ingested. Pair semantics change accordingly and deliberately:
+    a new doc only pairs against the retained window (dedup against
+    the last N batches / days), which is the production norm when the
+    upstream corpus itself has retention. Combine with
+    ``compact_every``/``compact_max_partitions`` — the tiered fold
+    age-bands the chunks so retention reclaims them in arrival order.
 
     The sink FOLLOWS THE DISK: if the catalog entry is missing it is
     re-derived from the index directory (bucket-suffixed files →
@@ -759,6 +867,17 @@ def incremental_near_dup_sink(
                 doc_type=new_idx.schema["doc"].dataType.simpleString(),
                 index_table=eff_table,
                 index_buckets=index_buckets,
+            )
+        if retain_batches:
+            # retention runs AFTER compaction so a cadence that both
+            # folds and prunes sees a consistent partition listing;
+            # serial foreachBatch thread = no concurrent reader (same
+            # contract as the in-sink fold)
+            prune_lsh_index(
+                spark,
+                index_dir,
+                min_batch_id=batch_id - retain_batches + 1,
+                index_table=eff_table,
             )
 
     return mine_batch
