@@ -1420,6 +1420,50 @@ def test_fs_rename_rejects_cross_scheme_and_fs_dir_size_counts_bytes(
     assert fs_dir_size(spark, str(tmp_path / "b")) == 123
 
 
+def test_regime1_mine_broadcasts_bounded_batch_no_corpus_shuffle(spark, tmp_path):
+    """round-11 two-regime pin (SCALE.md): a batch index inside the
+    broadcast envelope must mine as a BroadcastHashJoin of the BATCH
+    against a plain corpus SCAN — zero Exchange on the corpus side of
+    the join. This is the plan the choose_index_layout policy's regime
+    1 rests on (plain wins every ratio because there is no corpus
+    shuffle to elide); if a planner change ever degrades a bounded
+    batch to a corpus-shuffling SMJ, this pin flags the policy for
+    re-measurement."""
+    from webscrap_datapipeline_spark.operators.dedup import (
+        incremental_lsh_candidates_from_index,
+        lsh_band_index,
+        minhash_signatures,
+    )
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    corpus = spark.range(2000).selectExpr(
+        "concat('c', id) as doc_id",
+        "concat('w1x', id, ' w2x', id, ' w3x', id, ' w4x', id) as text",
+    )
+    bootstrap_lsh_index(corpus, index_dir)
+    batch = spark.range(50).selectExpr(
+        "concat('n', id) as doc_id",
+        "concat('w1x', id, ' w2x', id, ' w3x', id, ' w4x', id) as text",
+    )
+    new_idx = lsh_band_index(minhash_signatures(batch, "text", "doc_id")).localCheckpoint(
+        eager=True
+    )
+    mined = incremental_lsh_candidates_from_index(
+        spark.read.parquet(index_dir).filter(F.col("__batch_id") < 10**9), new_idx
+    )
+    mined.collect()  # AQE finalizes the adaptive plan
+    plan = mined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the corpus side of the JOIN must not shuffle: the only hash
+    # Exchanges allowed are the posting-list groupBys/distinct, which
+    # sit above the join, not under its corpus input. Pin by structure:
+    # no SortMergeJoin (its corpus-side Exchange is regime 2's cost).
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_bucketed_index_sink_matches_plain_layout_and_elides_corpus_exchange(
     spark, tmp_path
 ):
