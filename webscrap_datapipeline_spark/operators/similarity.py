@@ -123,6 +123,28 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def probe_buckets(bucket: Column, n_planes: int, multiprobe: int) -> Column:
+    """Array of bucket ids to probe for a query whose own bucket is
+    ``bucket``: the bucket itself plus, at ``multiprobe=1``, every
+    Hamming-distance-1 neighbor (one sign bit flipped — the classic
+    multi-probe LSH recall knob: a near neighbor that landed just the
+    other side of ONE hyperplane is found without re-hashing or adding
+    tables). Probe count is ``1 + n_planes`` — query-side only, so the
+    corpus is never re-bucketed and the candidate join stays equi on
+    bucket. Buckets in the array are pairwise distinct (each flips a
+    different bit), so no (query, corpus) candidate is produced twice.
+    Only distances 0 and 1 are supported: distance-2 probe sets grow
+    C(n_planes, 2)-fold for steeply diminishing recall."""
+    if multiprobe not in (0, 1):
+        raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe}")
+    if multiprobe == 0:
+        return F.array(bucket)
+    return F.array(
+        bucket,
+        *[bucket.bitwiseXOR(F.lit(1 << p).cast("bigint")) for p in range(n_planes)],
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,13 +155,26 @@ def lsh_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: bucket both sides with the same hyperplanes, equi-join
     on bucket, exact-rescore the candidates. Recall rises with fewer
     planes (bigger buckets) — callers tune n_planes to corpus density;
-    tests assert recall against brute_force_topk."""
+    tests assert recall against brute_force_topk. ``multiprobe=1``
+    additionally probes every Hamming-1 neighbor bucket per query
+    (:func:`probe_buckets`) — (n_planes+1)× the candidate volume for a
+    recall gain that lets n_planes stay corpus-scaled, all query-side
+    (the corpus bucketing, and therefore a persisted corpus index, is
+    untouched)."""
     cb = lsh_bucket(corpus, corpus_vec, dim, n_planes)
     qb = lsh_bucket(queries, query_vec, dim, n_planes).withColumnRenamed("bucket", "qbucket")
+    if multiprobe:
+        qb = qb.select(
+            *[c for c in qb.columns if c != "qbucket"],
+            F.explode(
+                probe_buckets(F.col("qbucket"), n_planes, multiprobe)
+            ).alias("qbucket"),
+        )
     cand = cb.join(
         F.broadcast(qb), F.col("bucket") == F.col("qbucket"), "inner"
     ).select(

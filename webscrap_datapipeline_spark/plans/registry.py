@@ -199,6 +199,11 @@ _DEFER_TO_ROUND: dict[str, int] = {
     # Local parity / pytest pins cover them this round.
     "token_heavy_hitters": 11,
     "token_cms_profile": 11,
+    # round 11 mid-round addition: the r11 window was allocated as
+    # 2 deferred sketch queries + embedding_ivf_trained_topk + age
+    # re-entries + the r8 freshness cohort — this defers one round
+    # rather than evict an r8 row. Local parity covers it now.
+    "embedding_ann_multiprobe_topk": 12,
 }
 
 # Queries whose PLAN or ORACLE changed in the round named by the pin —

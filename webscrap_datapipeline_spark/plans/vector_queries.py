@@ -510,3 +510,77 @@ def label_centroids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.max("dim").cast("int").alias("dim_count"),
     )
+
+
+_MP_PLANES = 8
+
+
+def _multiprobe_unnest_sql(bucket_col: str, n_planes: int = _MP_PLANES) -> str:
+    """DuckDB replay of operators/similarity.probe_buckets at Hamming
+    distance 1: the bucket itself plus each single-bit flip (xor with
+    2**p). The probe list is pairwise distinct by construction, so the
+    candidate join cannot duplicate a (query, corpus) pair — the same
+    argument the Spark side's docstring makes."""
+    probes = ", ".join(
+        [bucket_col] + [f"xor({bucket_col}, {1 << p})" for p in range(n_planes)]
+    )
+    return f"UNNEST([{probes}])"
+
+
+@query(
+    "embedding_ann_multiprobe_topk",
+    # Multi-probe LSH (round 11): same deterministic machinery as
+    # embedding_ann_lsh_topk — md5 hyperplanes, sequential-fold dots,
+    # total-order tiebreak — plus a query-side Hamming-1 probe
+    # expansion, all of which DuckDB replays exactly (xor is bit-exact
+    # in both engines; the probe list is distinct by construction).
+    # Recall-vs-mp0 monotonicity is pinned in pytest
+    # (test_ann_stream.test_ann_multiprobe_expands_candidates_and_recall).
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_bucket_sql("embedding", n_planes=_MP_PLANES)} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ), qp AS (
+      SELECT query_id, qe, {_multiprobe_unnest_sql("bucket")} AS bucket
+      FROM q
+    ), c AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql("embedding", n_planes=_MP_PLANES)} AS bucket
+      FROM embeddings WHERE vec_id >= 5
+    ), cand AS (
+      SELECT qp.query_id, c.vec_id,
+             {_COS.format(a="c.embedding", b="qp.qe")} AS score
+      FROM c JOIN qp ON c.bucket = qp.bucket
+    ), ranked AS (
+      SELECT query_id, vec_id, round(score, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS INT) AS rnk
+      FROM cand
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "knn", "lsh", "multiprobe"),
+)
+def embedding_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN top-5: hyperplane-LSH buckets at 8 planes with
+    every Hamming-1 neighbor bucket probed per query
+    (operators/similarity.lsh_topk multiprobe=1, the serve-path recall
+    knob of streaming/ann_stream.ann_query_index). Probing is
+    query-side only — 9× the candidate volume without touching the
+    corpus bucketing, which is what lets a PERSISTED corpus index
+    serve higher recall than its plane count alone allows. At 100 TB
+    the corpus side is one scan feeding a broadcast join, identical to
+    the single-probe plan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = SIM.lsh_topk(
+        corpus, queries_df, k=5, dim=64, n_planes=_MP_PLANES, multiprobe=1
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("cos_sim"), "rnk"
+    ).orderBy("query_id", "rnk")
