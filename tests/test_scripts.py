@@ -202,3 +202,22 @@ def test_backlog_drain_stats_reconstructs_peak_and_catch_up():
     got = backlog_drain_stats(progress[:3], rate=100)
     assert got["caught_up"] is False and got["time_to_caught_up_s"] is None
     assert got["backlog_peak_rows"] == 900
+
+
+def test_ann_probe_synth_vec_deterministic_and_injective(spark):
+    """scripts/ann_stream_probe.synth_vec: JVM-only synthesis must be
+    deterministic across invocations (the probe's planted self-match
+    recall depends on query vectors equaling corpus vectors exactly),
+    bounded in [-1, 1], and distinct across seeds (distinct vectors
+    keep bucket occupancy honest)."""
+    from pyspark.sql import functions as F
+
+    from scripts.ann_stream_probe import synth_vec
+
+    a = spark.range(50).select(synth_vec(F.col("id"), 16).alias("v")).collect()
+    b = spark.range(50).select(synth_vec(F.col("id"), 16).alias("v")).collect()
+    assert [r["v"] for r in a] == [r["v"] for r in b]
+    vecs = [tuple(r["v"]) for r in a]
+    assert len(set(vecs)) == len(vecs)
+    assert all(-1.0 <= x <= 1.0 for v in vecs for x in v)
+    assert all(len(v) == 16 for v in vecs)
