@@ -360,3 +360,84 @@ def test_ann_query_plan_never_shuffles_the_corpus(spark, sf_dir, tmp_path):
     # exactly one hash Exchange: candidates → window. The corpus scan
     # feeds the join directly.
     assert final.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_ann_committed_serve_cut_reads_exactly_the_committed_prefix(
+    spark, sf_dir, tmp_path
+):
+    """committed_serve_cut: serving a LIVE stream through the
+    checkpoint watermark must answer over exactly the committed prefix
+    (bootstrap + committed batches), repeatably, while later batches
+    land — the read-consistent production posture (no locks: committed
+    partitions are immutable, in-flight ones are partition-pruned
+    before any file is opened)."""
+    from webscrap_datapipeline_spark.streaming.ann_stream import (
+        committed_serve_cut,
+    )
+
+    emb = _emb(spark, sf_dir)
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 60).collect()
+    }
+    src_dir = str(tmp_path / "vec_in")
+    ckpt = str(tmp_path / "ckpt_ann")
+    index_dir = str(tmp_path / "ann_idx")
+    os.makedirs(src_dir, exist_ok=True)
+
+    boot = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    bootstrap_ann_index(boot, index_dir, dim=DIM, n_planes=4)
+    queries = _queries(emb, 100, 103)
+    cols = ("query_id", "vec_id", "rnk")
+
+    # fresh checkpoint: cut serves the bootstrap only
+    assert committed_serve_cut(spark, ckpt) == 0
+    got0 = ann_query_index(spark, index_dir, queries, k=3, upto_batch_id=0)
+    want0 = lsh_topk(boot, queries, k=3, dim=DIM, n_planes=4)
+    assert _rows(got0, *cols) == _rows(want0, *cols)
+
+    sink = incremental_ann_sink(index_dir, dim=DIM, n_planes=4)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(
+        src_dir
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def write_batch(ids, fname):
+        with open(os.path.join(src_dir, fname), "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"vec_id": i, "embedding": rows[i]}) + "\n")
+
+    try:
+        write_batch(range(0, 20), "b0.json")
+        q.processAllAvailable()
+        cut = committed_serve_cut(spark, ckpt)
+        assert cut == 1
+        # serve THROUGH the cut while the stream stays live; twin over
+        # exactly the committed prefix (bootstrap + batch 0). Repeat the
+        # query to pin repeatable-read at a fixed cut.
+        prefix = boot.unionByName(emb.filter(F.col("vec_id") < 20))
+        want = _rows(lsh_topk(prefix, queries, k=3, dim=DIM, n_planes=4), *cols)
+        first = _rows(
+            ann_query_index(spark, index_dir, queries, k=3, upto_batch_id=cut), *cols
+        )
+        assert first == want
+        write_batch(range(20, 40), "b1.json")
+        q.processAllAvailable()
+        # the OLD cut still answers the OLD prefix after batch 1 landed
+        again = _rows(
+            ann_query_index(spark, index_dir, queries, k=3, upto_batch_id=cut), *cols
+        )
+        assert again == want
+        # the NEW cut sees batch 1
+        cut2 = committed_serve_cut(spark, ckpt)
+        assert cut2 == 2
+        full = boot.unionByName(emb.filter(F.col("vec_id") < 40))
+        assert _rows(
+            ann_query_index(spark, index_dir, queries, k=3, upto_batch_id=cut2), *cols
+        ) == _rows(lsh_topk(full, queries, k=3, dim=DIM, n_planes=4), *cols)
+    finally:
+        q.stop()

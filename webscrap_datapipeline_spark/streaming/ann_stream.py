@@ -256,6 +256,31 @@ def incremental_ann_sink(
     return index_batch
 
 
+def committed_serve_cut(spark: SparkSession, checkpoint_dir: str) -> int:
+    """The ``upto_batch_id`` for READ-CONSISTENT serving while the
+    ingest stream is LIVE: one past the checkpoint's committed
+    watermark, so a concurrent :func:`ann_query_index` sees exactly
+    the committed prefix of the stream and nothing in flight.
+
+    Why this is safe against the writer without locks: committed batch
+    partitions are immutable (only an UNcommitted batch's replay
+    rewrites its partition, and that partition sits ABOVE the
+    watermark, so the cut's partition pruning excludes it before any
+    file is opened); the in-flight batch's files land via staged
+    writes (dot/underscore-prefixed staging Spark's file index
+    ignores) and are likewise pruned by partition value the moment
+    they publish. Serving WITHOUT a cut against a live stream is also
+    row-correct for the same reasons, but is not repeatable-read: two
+    scans inside one query could straddle a batch publish. Maintenance
+    (compaction/retention) deletes whole partitions and therefore DOES
+    race an un-cut external reader — that contract is unchanged
+    (in-sink maintenance only, or a stopped stream); a cut reader is
+    still exposed to retention deleting a partition mid-scan, so run
+    retention in windows where serving tolerates a retried query.
+    Returns 0 for a fresh checkpoint (serve the bootstrap only)."""
+    return last_committed_batch(spark, checkpoint_dir) + 1
+
+
 def read_ann_index(
     spark: SparkSession, index_dir: str, upto_batch_id: int | None = None
 ) -> DataFrame:
