@@ -98,6 +98,17 @@ def main() -> None:
         default=0,
         help="keep only the last N batches' vectors (0 = keep forever)",
     )
+    ap.add_argument(
+        "--serve-during-ingest",
+        type=int,
+        default=0,
+        help="run a serve query through committed_serve_cut every N "
+        "seconds WHILE the stream ingests (0 = serve only after the "
+        "window) — measures the concurrent-serve contention a "
+        "production deployment actually pays on shared executors, and "
+        "exercises the lock-free committed-prefix read path on a live "
+        "wire",
+    )
     ap.add_argument("--workdir", default="")
     args = ap.parse_args()
 
@@ -106,6 +117,7 @@ def main() -> None:
     from webscrap_datapipeline_spark.streaming.ann_stream import (
         ann_query_index,
         bootstrap_ann_index,
+        committed_serve_cut,
         compact_ann_index,
         incremental_ann_sink,
         read_ann_index,
@@ -156,12 +168,47 @@ def main() -> None:
         compact_max_partitions=args.compact_max_partitions or None,
         retain_batches=args.retain_batches or None,
     )
+    # serve queries built up front: every query is a corpus vector
+    # (planted exact self-match), reused for the in-window and
+    # post-window serve cells
+    queries = spark.range(args.queries).select(
+        F.col("id").alias("query_id"), synth_vec(F.col("id"), args.dim).alias("query_vec")
+    ).localCheckpoint(eager=True)
+
     ws = src.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt)
     if args.trigger_seconds:
         ws = ws.trigger(processingTime=f"{args.trigger_seconds} seconds")
     q = ws.start()
+    live_serves = []
     try:
-        time.sleep(args.seconds)
+        t_end = time.monotonic() + args.seconds
+        while time.monotonic() < t_end:
+            if not args.serve_during_ingest:
+                time.sleep(min(1.0, max(0.0, t_end - time.monotonic())))
+                continue
+            time.sleep(
+                min(args.serve_during_ingest, max(0.0, t_end - time.monotonic()))
+            )
+            if time.monotonic() >= t_end:
+                break
+            # lock-free committed-prefix serve on the LIVE wire: reads
+            # race nothing (committed partitions immutable, in-flight
+            # pruned); latency includes scheduler contention with the
+            # concurrently-running micro-batch — the honest number
+            cut = committed_serve_cut(spark, ckpt)
+            ts = time.monotonic()
+            n = ann_query_index(
+                spark, index_dir, queries, k=args.k, multiprobe=1,
+                upto_batch_id=cut,
+            ).count()
+            live_serves.append(
+                {
+                    "at_s": round(time.monotonic() - (t_end - args.seconds), 1),
+                    "cut": cut,
+                    "serve_sec": round(time.monotonic() - ts, 2),
+                    "rows": n,
+                }
+            )
         exc = q.exception()
         if exc is not None or not q.isActive:
             raise SystemExit(
@@ -188,12 +235,8 @@ def main() -> None:
         [d for d in os.listdir(index_dir) if d.startswith("__batch_id=")]
     )
 
-    # serve-path cells: every query is a corpus vector (planted exact
-    # self-match). Timed twice, best-of (first run pays scan warmup).
-    queries = spark.range(args.queries).select(
-        F.col("id").alias("query_id"), synth_vec(F.col("id"), args.dim).alias("query_vec")
-    ).localCheckpoint(eager=True)
-
+    # serve-path cells: timed twice, best-of (first run pays scan
+    # warmup)
     def serve_cell(multiprobe: int) -> dict:
         best, hits = None, 0
         for _ in range(2):
@@ -268,6 +311,8 @@ def main() -> None:
         "k": args.k,
         "serve": cells,
     }
+    if live_serves:
+        out["serve_during_ingest"] = live_serves
     if post_compact:
         out["post_compact"] = post_compact
     print(json.dumps(out))
