@@ -1,7 +1,8 @@
 """Streaming ANN index (streaming/ann_stream.py): twin-equality with
 the batch operator, replay idempotence, geometry drift guard,
-multiprobe recall, compaction/retention, latest-only upsert serving,
-and the no-corpus-shuffle serve plan.
+multiprobe recall, compaction/retention, newest-row upsert/duplicate
+resolution, committed-prefix serving, and the no-corpus-shuffle serve
+plan.
 
 The module is part of the LLM-pipeline extension surface (the
 reference has no similarity operators — SURVEY.md north star); its
@@ -114,6 +115,18 @@ def test_ann_geometry_guard_rejects_drift(spark, sf_dir, tmp_path):
     # matching geometry proceeds
     incremental_ann_sink(index_dir, dim=DIM)(emb.filter(F.col("vec_id") < 25), 0)
 
+    # the crash window: partition data WITHOUT a sidecar (writer died
+    # before pinning geometry, or the sidecar was deleted) must refuse
+    # rather than silently adopt the caller's geometry over rows
+    # bucketed under an unknown one
+    from webscrap_datapipeline_spark.streaming.ann_stream import GEOMETRY_FILE
+
+    os.remove(os.path.join(index_dir, GEOMETRY_FILE))
+    with pytest.raises(ValueError, match="no .* sidecar|re-bootstrap"):
+        incremental_ann_sink(index_dir, dim=DIM)(
+            emb.filter(F.col("vec_id") < 25), 1
+        )
+
 
 def test_ann_multiprobe_expands_candidates_and_recall(spark, sf_dir, tmp_path):
     """multiprobe=1 probes every Hamming-1 neighbor bucket: its
@@ -160,7 +173,7 @@ def test_ann_compaction_preserves_answers_and_historical_cut(
 ):
     """compact_ann_index folds committed partitions without changing
     any answer — including historical ``upto_batch_id`` cuts and
-    ``latest_only`` resolution, which both depend on the per-row
+    newest-row resolution, which both depend on the per-row
     ``__ingest`` the fold must persist (batch partitions carry it in
     the partition id; the consolidated chunk can't). Re-running the
     fold is a no-op; the chunk carries the .maxbatch age sidecar."""
@@ -247,14 +260,14 @@ def test_ann_retention_prunes_expired_partitions_only(spark, sf_dir, tmp_path):
     } == {1, 2}
 
 
-def test_ann_latest_only_resolves_reingested_ids(spark, sf_dir, tmp_path):
-    """An id re-ingested with a new embedding yields TWO index rows
-    (append-only). Default serving ranks both (documented); with
-    latest_only=True the id resolves to its newest candidate row, so
-    it appears at most once per query and scores by the newest
-    embedding whenever old and new share a probed bucket — pinned here
-    by re-ingesting an id with an embedding equal to the query vector
-    (its own old bucket is probed too at multiprobe=1)."""
+def test_ann_serving_resolves_reingested_ids_to_newest(spark, sf_dir, tmp_path):
+    """An id re-ingested with a new embedding yields TWO physical index
+    rows (append-only). Serving resolves every (query, id) to the
+    NEWEST candidate row by __ingest — one rank per distinct id,
+    scored by the newest embedding whenever old and new share a probed
+    bucket. Pinned by re-ingesting an id with an embedding equal to
+    the query vector (its own old bucket is probed too at
+    multiprobe=1)."""
     emb = _emb(spark, sf_dir)
     index_dir = str(tmp_path / "ann_idx")
     corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 60))
@@ -268,19 +281,53 @@ def test_ann_latest_only_resolves_reingested_ids(spark, sf_dir, tmp_path):
     upsert = qvec.select(F.lit(10).cast("long").alias("vec_id"), "embedding")
     sink(upsert, 0)
 
-    got = ann_query_index(
-        spark, index_dir, queries, k=5, multiprobe=1, latest_only=True
-    ).collect()
+    got = ann_query_index(spark, index_dir, queries, k=5, multiprobe=1).collect()
     per_id = [r["vec_id"] for r in got]
-    assert per_id.count(10) == 1
-    top = got[0]
+    assert per_id.count(10) == 1  # never two ranks for one id
+    assert len(per_id) == len(set(per_id))
+    top = sorted(got, key=lambda r: r["rnk"])[0]
     assert top["rnk"] == 1 and top["vec_id"] == 10
     assert top["score"] == pytest.approx(1.0, abs=1e-6)
 
-    # without latest_only the stale row of id 10 may also rank: the
-    # pin is only that the NEW row's perfect score is present
-    raw = ann_query_index(spark, index_dir, queries, k=5, multiprobe=1).collect()
-    assert any(r["vec_id"] == 10 and r["score"] > 0.999999 for r in raw)
+
+def test_ann_duplicate_physical_rows_never_evict_a_neighbor(
+    spark, sf_dir, tmp_path
+):
+    """The crash degradations the module documents (non-atomic
+    compaction publish on an object store; the fold-publish window a
+    concurrent reader can list) materialize as EXACT duplicate physical
+    rows. The per-(query, id) resolve must collapse them: answers with
+    a fully duplicated chunk present are identical to the clean index —
+    without the resolve, each duplicate would occupy two ranks and
+    evict the true k-th neighbor."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    index_dir = str(tmp_path / "ann_idx")
+    queries = _queries(emb, 200, 205)
+    bootstrap_ann_index(
+        emb.filter(F.col("vec_id") < 100), index_dir, dim=DIM, n_planes=4
+    )
+    sink = incremental_ann_sink(index_dir, dim=DIM, n_planes=4)
+    sink(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 0)
+
+    cols = ("query_id", "vec_id", "rnk")
+    clean = _rows(ann_query_index(spark, index_dir, queries, k=10), *cols)
+    assert len(clean) > 0
+
+    # fold, then simulate the crashed publish: the consolidated chunk
+    # exists TWICE (its rows carry identical __ingest values)
+    out = compact_ann_index(spark, index_dir, upto_batch_id=0)
+    chunk = f"{index_dir}/__batch_id={out['new_partition_id']}"
+    shutil.copytree(chunk, f"{index_dir}/__batch_id={out['new_partition_id'] - 1}")
+    dup_rows = read_ann_index(spark, index_dir).count()
+    assert dup_rows == 2 * out["rows"]  # duplicates really are on disk
+
+    assert _rows(ann_query_index(spark, index_dir, queries, k=10), *cols) == clean
+    # and the next fold re-distincts the duplicates away
+    refold = compact_ann_index(spark, index_dir, upto_batch_id=0)
+    assert refold["rows"] == out["rows"]
+    assert read_ann_index(spark, index_dir).count() == out["rows"]
 
 
 def test_ann_sink_on_live_stream_with_checkpoint(spark, sf_dir, tmp_path):
@@ -357,9 +404,14 @@ def test_ann_query_plan_never_shuffles_the_corpus(spark, sf_dir, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, plan[:2000]
     assert "SortMergeJoin" not in final, plan[:2000]
-    # exactly one hash Exchange: candidates → window. The corpus scan
-    # feeds the join directly.
-    assert final.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # exactly two hash Exchanges, BOTH candidate-sized: candidates →
+    # per-(query,id) resolve (partial-aggregated map-side first), then
+    # resolved candidates → per-query top-k window. The corpus scan
+    # feeds the join directly — no Exchange beneath it.
+    assert final.count("Exchange hashpartitioning") == 2, plan[:2000]
+    # the resolve really is partial-aggregated (duplicates collapse
+    # map-side before the shuffle)
+    assert "partial_max_by" in final or final.count("HashAggregate") >= 2, plan[:2000]
 
 
 def test_ann_committed_serve_cut_reads_exactly_the_committed_prefix(

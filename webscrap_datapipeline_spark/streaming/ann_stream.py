@@ -104,9 +104,29 @@ def _check_geometry(spark: SparkSession, index_dir: str, geo: dict) -> dict:
     Returns the effective geometry. Raises on ANY mismatch — buckets
     computed under different hyperplane geometry are incomparable, and
     the failure mode without this guard is silent near-zero recall,
-    not an error."""
+    not an error.
+
+    "First touch" requires a genuinely empty index: partition dirs
+    WITHOUT a sidecar mean a writer crashed before pinning its
+    geometry (or the sidecar was deleted) — adopting the caller's
+    geometry over rows bucketed under an unknown one would mix
+    incomparable buckets silently, the exact failure this guard
+    exists for. Refuse and make the operator re-bootstrap. (Writers
+    order sidecar-before-data to keep this window to a crash INSIDE
+    the very first write — see :func:`bootstrap_ann_index`.)"""
     existing = read_ann_geometry(spark, index_dir)
     if existing is None:
+        if any(
+            n.startswith("__batch_id=")
+            for n in list_child_names(spark, index_dir, dirs_only=True)
+        ):
+            raise ValueError(
+                f"ANN index under {index_dir} has partition data but no "
+                f"{GEOMETRY_FILE} sidecar (a writer crashed before pinning "
+                "its geometry): the buckets on disk were computed under an "
+                "unknown geometry and cannot be appended to safely — "
+                "re-bootstrap the index."
+            )
         _write_geometry(spark, index_dir, geo)
         return geo
     if existing != geo:
@@ -164,7 +184,15 @@ def bootstrap_ann_index(
     """Seed ``index_dir`` with an existing corpus (one-time batch
     backfill before the stream takes over), stamped ``__batch_id = -1``
     so streaming batches (ids ≥ 0) never collide. Replaces any prior
-    index and pins the geometry sidecar. Returns the row count."""
+    index and pins the geometry sidecar. Returns the row count.
+
+    The sidecar is written BEFORE the data: a crash mid-backfill then
+    leaves (sidecar, partial data) — a later writer with matching
+    geometry appends safely, a mismatched one fails loudly, and a
+    re-bootstrap replaces the lot. Data-before-sidecar would leave
+    rows bucketed under an unrecorded geometry, which
+    :func:`_check_geometry` must refuse outright (it cannot know what
+    planes produced them)."""
     spark = corpus.sparkSession
     geo = {
         "dim": dim,
@@ -174,6 +202,7 @@ def bootstrap_ann_index(
         "vec_type": corpus.schema[vec_col].dataType.simpleString(),
     }
     fs_delete(spark, index_dir)
+    _write_geometry(spark, index_dir, geo)
     obs = Observation("ann_bootstrap_rows")
     (
         _bucketed_batch(corpus, geo, id_col, vec_col)
@@ -184,7 +213,6 @@ def bootstrap_ann_index(
         .partitionBy("__batch_id")
         .parquet(index_dir)
     )
-    _write_geometry(spark, index_dir, geo)
     return int(obs.get["n"])
 
 
@@ -211,8 +239,8 @@ def incremental_ann_sink(
     replayed batch rewrites exactly its own rows, so the index is a
     pure function of the committed stream. Within one batch, ids are
     expected unique (an at-least-once source re-delivering an id in a
-    LATER batch creates a newer row; serve with ``latest_only=True``
-    to resolve to the newest embedding per id).
+    LATER batch creates a newer physical row; serving resolves every
+    id to its newest candidate row — see :func:`ann_query_index`).
 
     ``compact_every=N`` folds committed partitions every N batches
     inside the sink thread (strictly serial — the only safe place
@@ -271,18 +299,30 @@ def committed_serve_cut(spark: SparkSession, checkpoint_dir: str) -> int:
     ignores) and are likewise pruned by partition value the moment
     they publish. Serving WITHOUT a cut against a live stream is also
     row-correct for the same reasons, but is not repeatable-read: two
-    scans inside one query could straddle a batch publish. Maintenance
-    (compaction/retention) deletes whole partitions and therefore DOES
-    race an un-cut external reader — that contract is unchanged
-    (in-sink maintenance only, or a stopped stream); a cut reader is
-    still exposed to retention deleting a partition mid-scan, so run
-    retention in windows where serving tolerates a retried query.
-    Returns 0 for a fresh checkpoint (serve the bootstrap only)."""
+    scans inside one query could straddle a batch publish.
+
+    MAINTENANCE is the one writer the cut does not serialize against:
+    in-sink compaction/retention DELETES partitions at or below the
+    watermark, i.e. inside the cut. The fold-publish window (chunk
+    visible while its sources still exist) yields duplicate physical
+    rows, which the serve path's per-(query, id) resolve absorbs — no
+    wrong answers — but a partition deleted between a reader's file
+    listing and its scan fails that query loudly
+    (FileNotFoundException). So a concurrent server must either
+    tolerate query retry around compaction/retention cadences, or
+    serving and maintenance get scheduled apart; answers are never
+    silently wrong either way (do NOT paper over it with
+    ``spark.sql.files.ignoreMissingFiles`` — that converts the loud
+    failure into silent row loss). Returns 0 for a fresh checkpoint
+    (serve the bootstrap only)."""
     return last_committed_batch(spark, checkpoint_dir) + 1
 
 
 def read_ann_index(
-    spark: SparkSession, index_dir: str, upto_batch_id: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch_id: int | None = None,
+    geo: dict | None = None,
 ) -> DataFrame:
     """The index as a DataFrame ``(vec_id, embedding, bucket,
     __ingest)`` — ``__ingest`` is every row's true ingest batch id
@@ -290,8 +330,11 @@ def read_ann_index(
     partition id; batch partitions recover it from the partition id).
     ``upto_batch_id`` serves a consistent historical cut: only rows
     ingested strictly BEFORE that batch (partition-pruned for batch
-    partitions; chunk rows filtered on ``__ingest``)."""
-    geo = read_ann_geometry(spark, index_dir)
+    partitions; chunk rows filtered on ``__ingest``). Pass ``geo``
+    when the caller already holds the sidecar (the serve path does —
+    one FS round-trip instead of two per query on an object store)."""
+    if geo is None:
+        geo = read_ann_geometry(spark, index_dir)
     if geo is None:
         raise ValueError(f"no ANN index (no {GEOMETRY_FILE}) under {index_dir}")
     df = (
@@ -317,37 +360,40 @@ def ann_query_index(
     query_vec: str = "query_vec",
     multiprobe: int = 0,
     upto_batch_id: int | None = None,
-    latest_only: bool = False,
 ) -> DataFrame:
     """Exact-score ANN top-k per query against the persisted index:
-    ``(query_id, vec_id, score, rnk)``, deterministic tiebreak on
-    vec_id. Queries are bucketed with the SIDECAR geometry — plane
-    math cannot drift from the persisted buckets. ``multiprobe=1``
-    probes every Hamming-1 neighbor bucket per query (query-side
-    explode; the corpus index is untouched — that is the point of
-    probing over re-bucketing).
+    ``(query_id, vec_id, score, rnk)``, one row per distinct corpus
+    id, deterministic tiebreak on vec_id. Queries are bucketed with
+    the SIDECAR geometry — plane math cannot drift from the persisted
+    buckets. ``multiprobe=1`` probes every Hamming-1 neighbor bucket
+    per query (query-side explode; the corpus index is untouched —
+    that is the point of probing over re-bucketing).
+
+    Candidates are resolved to ONE row per (query, id) before ranking
+    — the newest by ``__ingest`` — which makes the top-k correct
+    under every source of physical row multiplicity at once: an id
+    re-ingested with a new embedding (upsert — newest wins), exact
+    duplicate rows from a crashed non-atomic compaction publish on an
+    object store, and the fold-publish window where a concurrent
+    reader lists both a consolidated chunk and its not-yet-deleted
+    sources. Without the resolution, a duplicated candidate would
+    occupy two ranks and silently evict the true k-th neighbor. The
+    resolution is a map-side-combinable aggregation over CANDIDATES
+    (never corpus-wide); upsert resolution is candidate-scoped — an
+    id whose newest embedding hashed entirely outside the probe set
+    can still be ranked by a stale row, the same class of miss as any
+    LSH recall miss (``multiprobe=1`` shrinks it; exact resolution at
+    any probe set is a compaction-time rewrite, not a per-query cost).
 
     Plan shape (pinned in pytest): corpus scan → broadcast-hash join
-    on bucket (query side built) → cosine projection → per-query
-    window top-k over the candidates. The corpus never shuffles; the
-    only Exchange moves CANDIDATES (≈ |queries| × bucket occupancy).
-
-    ``latest_only=True`` resolves a re-ingested id to the NEWEST of
-    its rows AMONG THE CANDIDATES (max ``__ingest`` per (query, id))
-    before ranking — one extra window over the candidate set, never a
-    corpus-wide shuffle. The resolution is candidate-scoped, so it is
-    exact whenever the id's newest embedding shares a probed bucket
-    with its stale rows (the common case: upserts drift, they don't
-    teleport); an id whose newest embedding hashed entirely outside
-    the probe set can still be ranked by a stale row — the same class
-    of miss as any LSH recall miss, and ``multiprobe=1`` shrinks it.
-    Exact upsert resolution at any probe set requires a corpus-wide
-    max-``__ingest`` per id; deployments needing that run it as a
-    periodic compaction-time rewrite, not per query."""
+    on bucket (query side built) → cosine projection → per-(query,id)
+    partial-aggregated resolve → per-query window top-k. The corpus
+    never shuffles; both Exchanges move CANDIDATES
+    (≈ |queries| × bucket occupancy × probes)."""
     geo = read_ann_geometry(spark, index_dir)
     if geo is None:
         raise ValueError(f"no ANN index (no {GEOMETRY_FILE}) under {index_dir}")
-    corpus = read_ann_index(spark, index_dir, upto_batch_id=upto_batch_id)
+    corpus = read_ann_index(spark, index_dir, upto_batch_id=upto_batch_id, geo=geo)
     qb = lsh_bucket(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
@@ -365,22 +411,23 @@ def ann_query_index(
         ).alias("bucket"),
     )
     cand = corpus.join(F.broadcast(qx), "bucket")
-    if latest_only:
-        w_latest = Window.partitionBy("query_id", "vec_id").orderBy(
-            F.col("__ingest").desc()
-        )
-        cand = cand.withColumn("__r", F.row_number().over(w_latest)).filter(
-            F.col("__r") == 1
-        )
     scored = cand.select(
         "query_id",
         "vec_id",
         cosine(F.col("embedding"), F.col("query_vec")).alias("score"),
+        "__ingest",
+    )
+    # newest row per (query, id): max_by is a partial-aggregated (map-
+    # side combined) reduction, so exact duplicates collapse before the
+    # shuffle; ties on __ingest are exact-duplicate rows by the sink's
+    # unique-ids-within-a-batch contract, so either row is the same row
+    resolved = scored.groupBy("query_id", "vec_id").agg(
+        F.max_by("score", "__ingest").alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return resolved.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def _max_ingest(spark: SparkSession, base: str, part_id: int) -> int | None:
@@ -443,7 +490,8 @@ def compact_ann_index(
 
     The fold persists each row's ingest batch as the ``__ingest``
     column (batch partitions carry it in the partition id; the
-    consolidated partition can't) — so ``latest_only`` serving and
+    consolidated partition can't) — so the per-(query, id) newest-row
+    resolve and
     ``upto_batch_id`` historical cuts stay exact across folds — and
     writes the chunk's ``.maxbatch`` age sidecar for retention.
 
@@ -452,12 +500,23 @@ def compact_ann_index(
     checkpoint's committed watermark); call with the stream stopped or
     from inside its own foreachBatch thread; crash-safe by ordering
     (scratch-write → publish-rename → delete), degrading on
-    non-atomic-rename object stores to duplicate rows — which are
-    EXACT duplicates here (same (vec_id, embedding, bucket, __ingest)
-    row), harmless to top-k (duplicate candidates rank adjacently and
-    ``row_number`` keeps one... for correctness under ties the serve
-    path's tiebreak is (score, vec_id), so a duplicated candidate can
-    only displace ITSELF) and re-distincted by the next fold."""
+    non-atomic-rename object stores to duplicate rows — EXACT
+    duplicates (same (vec_id, embedding, bucket, __ingest) row),
+    which the serve path's per-(query, id) resolve collapses before
+    ranking (without it they would occupy two ranks and evict the
+    true k-th neighbor) and the next fold re-distincts away.
+
+    This deliberately MIRRORS `dedup_stream.compact_lsh_index` rather
+    than sharing a fold helper: the two differ in every load-bearing
+    detail (schema + per-row ``__ingest`` preservation here vs distinct
+    band rows there; no bucketed-catalog arm here BY DESIGN — the serve
+    join broadcasts the query side, so there is no corpus Exchange for
+    a bucket spec to elide), and the dedup compactor's behavior is
+    pinned by its own test suite; extracting a shared core would
+    couple a serve-path index to the most safety-critical code in the
+    dedup wire for ~40 saved lines. Fixes to the shared IDEAS (fold
+    ordering, tier policy) must be applied to both — each names the
+    other."""
     noop = {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
     if not fs_exists(spark, index_dir):
         return noop

@@ -319,6 +319,11 @@ def compact_lsh_index(
     Returns ``{"folded_partitions", "rows", "new_partition_id"}`` for
     the batch-tier fold, plus ``{"merged_chunks", "chunk_rows",
     "chunk_partition_id"}`` when a size-tiered chunk merge also ran.
+
+    `ann_stream.compact_ann_index` deliberately mirrors this fold
+    (different schema/sidecars, no bucketed arm — see its docstring
+    for why they don't share a core): fixes to the shared ideas here
+    (fold ordering, tier policy) must be applied there too.
     """
     noop = {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
     if not fs_exists(spark, index_dir):
