@@ -493,3 +493,59 @@ def test_ann_committed_serve_cut_reads_exactly_the_committed_prefix(
         ) == _rows(lsh_topk(full, queries, k=3, dim=DIM, n_planes=4), *cols)
     finally:
         q.stop()
+
+
+def test_ann_ivf_kind_matches_batch_ivf_search(spark, sf_dir, tmp_path):
+    """The IVF-celled index (codebook pinned in the geometry sidecar)
+    must answer exactly what the batch operator ivf_search answers
+    with the same centroids and nprobe over the union corpus — and the
+    kind rides every existing protocol unchanged: replay idempotence,
+    compaction with per-row __ingest, codebook drift guard."""
+    from webscrap_datapipeline_spark.operators.clustering import (
+        hash_sample_vectors,
+    )
+    from webscrap_datapipeline_spark.operators.similarity import ivf_search
+
+    emb = _emb(spark, sf_dir)
+    index_dir = str(tmp_path / "ann_ivf_idx")
+    boot = emb.filter(F.col("vec_id") < 200)
+    b0 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    queries = _queries(emb, 400, 405)
+    # deterministic codebook: hash-scattered sample (no training — the
+    # twin uses the SAME literal centroids)
+    cents = hash_sample_vectors(boot, "embedding", "vec_id", 8)
+
+    bootstrap_ann_index(boot, index_dir, dim=DIM, centroids=cents)
+    geo = read_ann_geometry(spark, index_dir)
+    assert geo["kind"] == "ivf" and len(geo["centroids"]) == 8
+    sink = incremental_ann_sink(index_dir, dim=DIM, centroids=cents)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    cols = ("query_id", "vec_id", "rnk")
+    got = ann_query_index(spark, index_dir, queries, k=5, nprobe=2)
+    want = ivf_search(
+        boot.unionByName(b0).unionByName(b1),
+        queries,
+        [(i, c) for i, c in enumerate(cents)],
+        k=5,
+        nprobe=2,
+    )
+    assert _rows(got, *cols) == _rows(want, *cols)
+    assert got.count() > 0
+
+    # replay idempotence and compaction hold for the ivf kind verbatim
+    before = read_ann_index(spark, index_dir).count()
+    sink(b0, 0)
+    assert read_ann_index(spark, index_dir).count() == before
+    out = compact_ann_index(spark, index_dir, upto_batch_id=1)
+    assert out["folded_partitions"] == 3
+    assert _rows(ann_query_index(spark, index_dir, queries, k=5, nprobe=2), *cols) == _rows(
+        want, *cols
+    )
+
+    # codebook drift = geometry drift: fails loudly
+    other = [[x + 0.25 for x in c] for c in cents]
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        incremental_ann_sink(index_dir, dim=DIM, centroids=other)(b0, 2)

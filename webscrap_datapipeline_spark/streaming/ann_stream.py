@@ -10,8 +10,15 @@ This module persists the hyperplane-LSH bucketing as an append-only
 index and keeps it current from a stream:
 
   1. :func:`bootstrap_ann_index` backfills an existing corpus as the
-     ``__batch_id = -1`` partition and pins the GEOMETRY (dim, plane
-     count, seed, column types) in a ``_geometry.json`` sidecar;
+     ``__batch_id = -1`` partition and pins the GEOMETRY in a
+     ``_geometry.json`` sidecar. Two cell geometries, chosen at
+     bootstrap: ``hyperplane`` (seeded sign-bit LSH — zero training,
+     uniform cells; dim/planes/seed in the sidecar) and ``ivf``
+     (nearest-centroid Voronoi cells — higher recall on CLUSTERED
+     real-world embeddings at the same probe budget; the train-once
+     codebook itself rides in the sidecar, because cell ids are only
+     comparable under the exact centroid values). Every protocol below
+     is kind-agnostic — nothing downstream cares what a bucket MEANS;
   2. :func:`incremental_ann_sink` is a ``foreachBatch`` function: each
      micro-batch is bucketed map-side (pure column math — no shuffle,
      no fit step, no driver state) and appended as its own
@@ -77,7 +84,12 @@ from ..fsutil import (
     fs_write_text,
     list_child_names,
 )
-from ..operators.similarity import lsh_bucket, probe_buckets
+from ..operators.similarity import (
+    _probe_cids,
+    ivf_assign,
+    lsh_bucket,
+    probe_buckets,
+)
 from .dedup_stream import last_committed_batch
 
 GEOMETRY_FILE = "_geometry.json"
@@ -157,19 +169,65 @@ def _ann_schema(geo: dict) -> T.StructType:
     )
 
 
+def _geo_centroids(geo: dict) -> list[tuple[int, list[float]]]:
+    return [(i, c) for i, c in enumerate(geo["centroids"])]
+
+
 def _bucketed_batch(
     df: DataFrame, geo: dict, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Map-side bucketing of one batch into the index row layout."""
+    """Map-side bucketing of one batch into the index row layout —
+    sign-bit hyperplane bucket or nearest-centroid IVF cell by the
+    geometry's ``kind``; either way pure column math over plan
+    literals, no shuffle, no fit step at ingest."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if geo["kind"] == "ivf":
+        return ivf_assign(base, "embedding", _geo_centroids(geo)).select(
+            "vec_id", "embedding", F.col("cid").cast("long").alias("bucket")
+        )
     return lsh_bucket(
-        df.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-        ),
+        base,
         "embedding",
         dim=geo["dim"],
         n_planes=geo["n_planes"],
         seed=geo["seed"],
     )
+
+
+def _build_geometry(
+    schema,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    centroids: list[list[float]] | None,
+) -> dict:
+    """The geometry dict a writer pins / validates. ``kind`` selects
+    the cell function: ``hyperplane`` (seeded sign-bit LSH — no
+    training, uniform cells) when ``centroids`` is None, else ``ivf``
+    (nearest-centroid Voronoi cells — higher recall on CLUSTERED
+    real-world embeddings at the same probe budget, at the cost of a
+    train-once codebook; train with `operators/clustering.kmeans_fit`
+    and pass its centroid list). The codebook lives IN the sidecar:
+    cell ids are only comparable under the exact centroid values, so
+    they are index geometry in precisely the sidecar's sense — a
+    retrained codebook is a re-bootstrap, never an in-place swap."""
+    geo = {
+        "dim": dim,
+        "id_type": schema[id_col].dataType.simpleString(),
+        "vec_type": schema[vec_col].dataType.simpleString(),
+    }
+    if centroids is not None:
+        geo["kind"] = "ivf"
+        geo["centroids"] = [[float(x) for x in c] for c in centroids]
+    else:
+        geo["kind"] = "hyperplane"
+        geo["n_planes"] = n_planes
+        geo["seed"] = seed
+    return geo
 
 
 def bootstrap_ann_index(
@@ -180,11 +238,16 @@ def bootstrap_ann_index(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> int:
     """Seed ``index_dir`` with an existing corpus (one-time batch
     backfill before the stream takes over), stamped ``__batch_id = -1``
     so streaming batches (ids ≥ 0) never collide. Replaces any prior
     index and pins the geometry sidecar. Returns the row count.
+    Passing ``centroids`` makes the index IVF-celled instead of
+    hyperplane-bucketed (see :func:`_build_geometry`); every other
+    protocol — partitions, replay, compaction, retention, serve cuts —
+    is identical, because none of them care what the bucket MEANS.
 
     The sidecar is written BEFORE the data: a crash mid-backfill then
     leaves (sidecar, partial data) — a later writer with matching
@@ -194,13 +257,9 @@ def bootstrap_ann_index(
     :func:`_check_geometry` must refuse outright (it cannot know what
     planes produced them)."""
     spark = corpus.sparkSession
-    geo = {
-        "dim": dim,
-        "n_planes": n_planes,
-        "seed": seed,
-        "id_type": corpus.schema[id_col].dataType.simpleString(),
-        "vec_type": corpus.schema[vec_col].dataType.simpleString(),
-    }
+    geo = _build_geometry(
+        corpus.schema, id_col, vec_col, dim, n_planes, seed, centroids
+    )
     fs_delete(spark, index_dir)
     _write_geometry(spark, index_dir, geo)
     obs = Observation("ann_bootstrap_rows")
@@ -223,6 +282,7 @@ def incremental_ann_sink(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
     compact_every: int | None = None,
     compact_max_partitions: int | None = None,
     retain_batches: int | None = None,
@@ -248,15 +308,15 @@ def incremental_ann_sink(
     ``compact_max_partitions``. ``retain_batches=N`` keeps only
     content ingested in the last N batches (:func:`prune_ann_index`)
     — the bounded-corpus posture for deployments where similarity is
-    only meaningful within a freshness window."""
-    geo_template = {"dim": dim, "n_planes": n_planes, "seed": seed}
+    only meaningful within a freshness window. ``centroids`` selects
+    the IVF cell geometry exactly as in :func:`bootstrap_ann_index`
+    (must match a bootstrapped index's sidecar bit-for-bit — the
+    geometry guard enforces it)."""
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        geo = dict(
-            geo_template,
-            id_type=batch_df.schema[id_col].dataType.simpleString(),
-            vec_type=batch_df.schema[vec_col].dataType.simpleString(),
+        geo = _build_geometry(
+            batch_df.schema, id_col, vec_col, dim, n_planes, seed, centroids
         )
         geo = _check_geometry(spark, index_dir, geo)
         (
@@ -359,15 +419,20 @@ def ann_query_index(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     multiprobe: int = 0,
+    nprobe: int = 2,
     upto_batch_id: int | None = None,
 ) -> DataFrame:
     """Exact-score ANN top-k per query against the persisted index:
     ``(query_id, vec_id, score, rnk)``, one row per distinct corpus
     id, deterministic tiebreak on vec_id. Queries are bucketed with
-    the SIDECAR geometry — plane math cannot drift from the persisted
-    buckets. ``multiprobe=1`` probes every Hamming-1 neighbor bucket
-    per query (query-side explode; the corpus index is untouched —
-    that is the point of probing over re-bucketing).
+    the SIDECAR geometry — plane/codebook math cannot drift from the
+    persisted buckets. The recall knob follows the index kind, always
+    query-side (the corpus index is untouched — that is the point of
+    probing over re-bucketing): hyperplane indexes take
+    ``multiprobe=1`` (every Hamming-1 neighbor bucket per query); IVF
+    indexes take ``nprobe`` (the n nearest cells per query,
+    `operators/similarity.ivf_search`'s probe rule over the sidecar
+    codebook).
 
     Candidates are resolved to ONE row per (query, id) before ranking
     — the newest by ``__ingest`` — which makes the top-k correct
@@ -394,22 +459,31 @@ def ann_query_index(
     if geo is None:
         raise ValueError(f"no ANN index (no {GEOMETRY_FILE}) under {index_dir}")
     corpus = read_ann_index(spark, index_dir, upto_batch_id=upto_batch_id, geo=geo)
-    qb = lsh_bucket(
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
-        ),
-        "query_vec",
-        dim=geo["dim"],
-        n_planes=geo["n_planes"],
-        seed=geo["seed"],
-    ).withColumnRenamed("bucket", "qbucket")
-    qx = qb.select(
-        "query_id",
-        "query_vec",
-        F.explode(
-            probe_buckets(F.col("qbucket"), geo["n_planes"], multiprobe)
-        ).alias("bucket"),
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
     )
+    if geo["kind"] == "ivf":
+        probes = _probe_cids("query_vec", _geo_centroids(geo), nprobe)
+        qx = q.select(
+            "query_id", "query_vec", F.explode(probes).alias("cid")
+        ).select(
+            "query_id", "query_vec", F.col("cid").cast("long").alias("bucket")
+        )
+    else:
+        qb = lsh_bucket(
+            q,
+            "query_vec",
+            dim=geo["dim"],
+            n_planes=geo["n_planes"],
+            seed=geo["seed"],
+        ).withColumnRenamed("bucket", "qbucket")
+        qx = qb.select(
+            "query_id",
+            "query_vec",
+            F.explode(
+                probe_buckets(F.col("qbucket"), geo["n_planes"], multiprobe)
+            ).alias("bucket"),
+        )
     cand = corpus.join(F.broadcast(qx), "bucket")
     scored = cand.select(
         "query_id",
