@@ -6,8 +6,9 @@ oracled via ``embedding_ann_lsh_topk``) answer top-k against a corpus
 that exists up front. A training-data pipeline's corpus doesn't: new
 embeddings arrive continuously, and "find what's already similar to
 this" must be answerable at any moment without re-bucketing history.
-This module persists the hyperplane-LSH bucketing as an append-only
-index and keeps it current from a stream:
+This module persists the cell assignment (hyperplane-LSH buckets or
+IVF Voronoi cells) as an append-only index and keeps it current from
+a stream:
 
   1. :func:`bootstrap_ann_index` backfills an existing corpus as the
      ``__batch_id = -1`` partition and pins the GEOMETRY in a
@@ -28,11 +29,12 @@ index and keeps it current from a stream:
      `sinks.warehouse_append_sink`);
   3. :func:`ann_query_index` serves top-k against the index AS IT
      STANDS: queries are bucketed with the sidecar's geometry (a
-     caller cannot desynchronize plane math from the persisted
-     buckets), optionally expanded to Hamming-1 neighbor buckets
-     (`operators/similarity.probe_buckets` — the multi-probe recall
-     knob), broadcast against the corpus scan, and exact-cosine
-     rescored with a total-order tiebreak.
+     caller cannot desynchronize plane/codebook math from the
+     persisted buckets), expanded by the kind's recall knob —
+     Hamming-1 neighbor buckets (`operators/similarity.probe_buckets`)
+     for hyperplane, the ``nprobe`` nearest cells for IVF — broadcast
+     against the corpus scan, and exact-cosine rescored with a
+     total-order tiebreak.
 
 Scale posture — and the deliberate asymmetry with the dedup index:
 the dedup mine joins a whole MICRO-BATCH against the corpus, so past
