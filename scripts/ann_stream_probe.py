@@ -124,7 +124,14 @@ def main() -> None:
     )
 
     n_planes = args.n_planes or auto_planes(args.corpus_vecs)
-    spark = get_spark(app_name="ann-stream-probe")
+    spark = get_spark(
+        app_name="ann-stream-probe",
+        # recentProgress is a ~100-entry ring buffer: a long window
+        # (outage + drain + steady batches) silently evicts the peak
+        # batches and the reconstructed backlog curve re-zeros mid-run
+        # (round-11 review). Size it past any plausible probe window.
+        extra_conf={"spark.sql.streaming.numRecentProgressUpdates": "10000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="ann_stream_probe_")

@@ -83,18 +83,9 @@ def main() -> None:
             .select("doc", "band", "bucket")
             .localCheckpoint(eager=True)
         )
-        copies = [base_idx]
-        for c in range(1, args.replicate):
-            copies.append(
-                base_idx.select(
-                    F.concat(F.lit(f"r{c}_"), F.col("doc")).alias("doc"),
-                    "band",
-                    F.md5(F.concat(F.col("bucket"), F.lit(str(c)))).alias("bucket"),
-                )
-            )
-        big_idx = copies[0]
-        for c in copies[1:]:
-            big_idx = big_idx.unionByName(c)
+        from scripts.streaming_dedup_probe import replicate_band_index
+
+        big_idx = replicate_band_index(base_idx, args.replicate)
         shutil.rmtree(plain_dir, ignore_errors=True)
         _write_index_partition(big_idx, -1, plain_dir, None, args.index_buckets)
         from webscrap_datapipeline_spark.streaming.dedup_stream import (
@@ -145,12 +136,17 @@ def main() -> None:
     # EITHER layout; only above-envelope batches show the 4-vs-3
     # Exchange elision the bucketed layout exists for)
     def join_shape(corpus):
-        p = (
-            incremental_lsh_candidates_from_index(corpus, new_idx)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        df = incremental_lsh_candidates_from_index(corpus, new_idx)
+        # execute through the DataFrame's OWN QueryExecution first:
+        # under AQE the un-executed plan is the INITIAL one (a
+        # statically-unsized localCheckpoint batch side plans as SMJ
+        # and only becomes a broadcast join at runtime), so reading it
+        # un-run would misreport the regime this cell measured
+        # (round-11 review). toRdd() shares the QE, and its JVM-side
+        # count never moves rows to the driver.
+        df._jdf.queryExecution().toRdd().count()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        p = p.split("== Initial Plan ==")[0]
         kind = (
             "broadcast"
             if "BroadcastHashJoin" in p

@@ -432,6 +432,26 @@ def test_rows_only_reentry_rule_is_capped_and_module_change_gated():
         assert set(pinned) <= got  # pin beats older-seen peers
         assert len(got) == free
 
+    # the guaranteed floor is reserved for AGED candidates BY NAME:
+    # with zero free slots, a FRESH pinned candidate whose module
+    # changed sorts first but must NOT consume a guaranteed slot
+    # (round-11 review — the front-slice implementation handed the
+    # floor to non-aged entries, so the extreme-staleness records the
+    # floor exists for stayed stale forever)
+    if pinned:
+        ls_mixed = {
+            n: (fresh if n in pinned else 9 - _MAX_ROWS_ONLY_AGE)
+            for n in rows_only
+        } | lg_full
+        got = _rows_only_reentries(
+            lg_full, ls_mixed, 9, lambda n, r: n in pinned
+        )
+        assert got and not (set(pinned) & got)  # floor went to the aged
+        assert all(9 - ls_mixed[n] >= _MAX_ROWS_ONLY_AGE for n in got)
+        assert len(got) == min(
+            len(rows_only) - len(pinned), _AGE_REENTRY_SLOTS
+        )
+
     # the live git gate: the committed record says the round-10 window
     # grants re-entry to at least the pinned motivating case, and the
     # gate returns False for a round with no CORRECTNESS file

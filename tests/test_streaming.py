@@ -1679,3 +1679,100 @@ def test_bucketed_index_compaction_keeps_layout_and_mining(spark, tmp_path):
         assert got2 == got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_round11_review_guards_markers_and_stale_catalog(spark, tmp_path):
+    """Round-11 review fixes, pinned: (1) retention combined with an
+    in-sink MAXIMAL fold is rejected on both streaming sinks — the fold
+    re-marks all content fresh every cadence, so partition-granular
+    retention would silently never prune (inert-retention); (2)
+    migrate_lsh_index_to_bucketed writes the .maxbatch age marker, so
+    retention can still prune migrated content; (3) a plain
+    auto-layout re-bootstrap DROPS a stale bucketed catalog entry left
+    by an earlier deployment — otherwise every subsequent batch reads
+    the stale bucketed table over plain files."""
+    import pytest
+
+    from webscrap_datapipeline_spark.fsutil import fs_read_text
+    from webscrap_datapipeline_spark.streaming.ann_stream import (
+        incremental_ann_sink,
+    )
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        bootstrap_lsh_index,
+        incremental_near_dup_sink,
+        migrate_lsh_index_to_bucketed,
+        prune_lsh_index,
+    )
+
+    # (1) the inert combination fails loudly at sink construction
+    with pytest.raises(ValueError, match="inert"):
+        incremental_near_dup_sink(
+            str(tmp_path / "i"), str(tmp_path / "p"),
+            compact_every=2, retain_batches=3,
+        )
+    with pytest.raises(ValueError, match="inert"):
+        incremental_ann_sink(
+            str(tmp_path / "a"), dim=4, compact_every=2, retain_batches=3
+        )
+    # tiered fold + retention remains the supported pairing
+    incremental_near_dup_sink(
+        str(tmp_path / "i"), str(tmp_path / "p"),
+        compact_every=2, compact_max_partitions=4, retain_batches=3,
+    )
+
+    # (2) migration carries the age marker; retention can expire it
+    index_dir = str(tmp_path / "lsh_idx")
+    pairs_dir = str(tmp_path / "pairs")
+    docs = spark.createDataFrame(
+        [("c1", "alpha beta gamma delta"), ("c2", "one two three four")],
+        "doc_id string, text string",
+    )
+    bootstrap_lsh_index(docs, index_dir)
+    sink = incremental_near_dup_sink(index_dir, pairs_dir)
+    sink(
+        spark.createDataFrame(
+            [("n1", "five six seven eight")], "doc_id string, text string"
+        ),
+        0,
+    )
+    table = "t_r11_migrate_marker"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    out = migrate_lsh_index_to_bucketed(spark, index_dir, table)
+    marker = fs_read_text(
+        spark, f"{index_dir}/__batch_id={out['new_partition_id']}/.maxbatch"
+    )
+    assert marker is not None and int(marker.strip()) == 0
+    # newest content is ingest batch 0 -> prunable once the window
+    # moves past it (previously: unknown age, never prunable)
+    assert prune_lsh_index(spark, index_dir, 0, index_table=table) == {
+        "pruned_partitions": 0,
+        "pruned_ids": [],
+    }
+    pruned = prune_lsh_index(spark, index_dir, 1, index_table=table)
+    assert pruned["pruned_ids"] == [out["new_partition_id"]]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # (3) auto-layout plain re-bootstrap drops the stale catalog entry
+    idx2 = str(tmp_path / "lsh_idx2")
+    table2 = "t_r11_stale_entry"
+    spark.sql(f"DROP TABLE IF EXISTS {table2}")
+    bootstrap_lsh_index(docs, idx2, index_table=table2)  # bucketed era
+    assert spark.catalog.tableExists(table2)
+    layout = bootstrap_lsh_index(
+        docs, idx2, index_table=table2, layout="auto", expected_batch_docs=10
+    )
+    assert layout == "plain"
+    assert not spark.catalog.tableExists(table2)
+    # the sink handed the same table name follows the (plain) disk
+    sink2 = incremental_near_dup_sink(idx2, str(tmp_path / "p2"), index_table=table2)
+    sink2(
+        spark.createDataFrame(
+            [("n2", "alpha beta gamma delta")], "doc_id string, text string"
+        ),
+        0,
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(str(tmp_path / "p2")).collect()
+    }
+    assert got == {("n2", "c1")}

@@ -342,14 +342,24 @@ def _rows_only_reentries(
         ),
     )
     # guaranteed floor for EXTREME staleness only: when the oldest-green
-    # cohort leaves no free slots, up to _AGE_REENTRY_SLOTS of the
-    # oldest candidates still enter (bounded by the post-mandatory
-    # budget so they can never evict a pin or a never-verified query)
-    aged = sum(
-        1 for n in candidates if latest_round - last_seen[n] >= _MAX_ROWS_ONLY_AGE
-    )
-    take = max(free, min(aged, _AGE_REENTRY_SLOTS, budget))
-    return frozenset(candidates[:take])
+    # cohort leaves no free slots, up to _AGE_REENTRY_SLOTS of the AGED
+    # candidates still enter (bounded by the post-mandatory budget so
+    # they can never evict a pin or a never-verified query). The floor
+    # is reserved for aged candidates BY NAME, not taken as a larger
+    # front slice of the combined list: a fresher pinned/module-changed
+    # candidate sorts first and would otherwise consume the guaranteed
+    # slots while the extreme-staleness records the floor exists for
+    # stay stale forever (round-11 review)
+    aged_set = {
+        n for n in candidates if latest_round - last_seen[n] >= _MAX_ROWS_ONLY_AGE
+    }
+    take_free = candidates[:free]
+    want_aged = min(len(aged_set), _AGE_REENTRY_SLOTS, budget)
+    have_aged = sum(1 for n in take_free if n in aged_set)
+    extra_aged = [n for n in candidates if n in aged_set and n not in take_free][
+        : max(0, min(want_aged - have_aged, budget - free))
+    ]
+    return frozenset(take_free) | frozenset(extra_aged)
 
 
 def _ordered_names() -> list[str]:

@@ -314,6 +314,18 @@ def incremental_ann_sink(
     the IVF cell geometry exactly as in :func:`bootstrap_ann_index`
     (must match a bootstrapped index's sidecar bit-for-bit — the
     geometry guard enforces it)."""
+    if retain_batches and compact_every and compact_max_partitions is None:
+        # same inert-retention combination as the dedup sink (see
+        # incremental_near_dup_sink): a maximal in-sink fold re-marks
+        # all content fresh every cadence, so partition-granular
+        # retention never prunes anything
+        raise ValueError(
+            "retain_batches with an in-sink MAXIMAL fold (compact_every "
+            "set, compact_max_partitions=None) makes retention inert: "
+            "every fold re-marks all content fresh. Pass "
+            "compact_max_partitions=K (tiered fold) so chunks age-band "
+            "and expire, or run maximal folds in maintenance windows."
+        )
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

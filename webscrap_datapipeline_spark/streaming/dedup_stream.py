@@ -592,6 +592,14 @@ def bootstrap_lsh_index(
         n_docs = docs.count()  # one scan — the backfill is one-time
         if choose_index_layout(n_docs, expected_batch_docs) == "plain":
             effective_table = None
+            # an earlier bucketed deployment may have left a catalog
+            # entry under this name; a plain re-bootstrap must drop it,
+            # or the sink's follow-the-disk logic (which only fires when
+            # the entry is MISSING) would read the stale bucketed table
+            # over the new plain files every batch — 'Invalid bucket
+            # file' at best, an empty-corpus mine at worst (round-11
+            # review)
+            spark.sql(f"DROP TABLE IF EXISTS {index_table}")
     elif layout != "explicit":
         raise ValueError(f"unknown layout {layout!r}")
     sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
@@ -682,6 +690,16 @@ def migrate_lsh_index_to_bucketed(
     rows = obs.get["n"]
     if not fs_rename(spark, scratch, f"{base}/__batch_id={new_id}"):  # pragma: no cover - FS race
         raise IOError(f"migrate_lsh_index_to_bucketed: publish rename failed under {index_dir}")
+    # age marker, read from the SOURCES before they are deleted (same
+    # rule as compact_lsh_index): without it the migrated partition has
+    # unknown age and retention could never prune any pre-migration
+    # content again — the per-batch corpus scan retention exists to
+    # bound would silently resume growing (round-11 review)
+    ingests = [_max_ingest_batch(spark, base, v) for v in part_vals]
+    if all(i is not None for i in ingests):
+        fs_write_text(
+            spark, f"{base}/__batch_id={new_id}/.maxbatch", str(max(ingests))
+        )
     for v in part_vals:
         fs_delete(spark, f"{base}/__batch_id={v}")
     register_lsh_index_table(
@@ -774,6 +792,22 @@ def incremental_near_dup_sink(
     pair output is identical either way (pinned in pytest). Upgrade a
     plain index with :func:`migrate_lsh_index_to_bucketed` in a
     maintenance window."""
+    if retain_batches and compact_every and compact_max_partitions is None:
+        # the in-sink MAXIMAL fold re-absorbs EVERYTHING — including
+        # expired rows and prior chunks — into one chunk whose
+        # .maxbatch is always batch_id - 1, i.e. always inside the
+        # retention window: retention then never prunes anything while
+        # the operator believes the corpus is bounded (round-11
+        # review). The tiered fold is the compatible shape — it folds
+        # only the K OLDEST batch partitions, so chunks age-band and
+        # expire in arrival order.
+        raise ValueError(
+            "retain_batches with an in-sink MAXIMAL fold (compact_every "
+            "set, compact_max_partitions=None) makes retention inert: "
+            "every fold re-marks all content fresh. Pass "
+            "compact_max_partitions=K (tiered fold) so chunks age-band "
+            "and expire, or run maximal folds in maintenance windows."
+        )
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
