@@ -275,6 +275,23 @@ def test_count_min_sketch_never_underestimates(spark, words):
     got = cms_estimate(tiny, ghost, width=16).collect()
     assert [(r["token"], r["est_count"]) for r in got] == [("never-seen-token", 0)]
 
+    # the portable (md5-bucketed, engine-replayable) variant carries the
+    # SAME guarantees: one-sided error under forced collisions, exact at
+    # the shipped width — different hash family, same sketch math
+    tiny_p = count_min_sketch(items, width=16, portable=True)
+    est_tiny_p = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(tiny_p, probes, width=16, portable=True).collect()
+    }
+    for w, c in exact.items():
+        assert est_tiny_p[w] >= c, f"portable {w}: {est_tiny_p[w]} < {c}"
+    wide_p = count_min_sketch(items, width=16384, portable=True)
+    est_wide_p = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(wide_p, probes, width=16384, portable=True).collect()
+    }
+    assert est_wide_p == dict(exact)
+
 
 @given(
     words=_WORDS,

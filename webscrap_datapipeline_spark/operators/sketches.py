@@ -43,12 +43,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _cms_bucket(col: str, d: int, width: int, seed: int, portable: bool) -> Column:
+    """Bucket expression for CMS row ``d``. Default: ``xxhash64`` with a
+    per-row seed (the fast JVM path). ``portable=True``: first 8 md5 hex
+    chars of ``value:":"seed+d`` as a 32-bit int — the same
+    engine-portable base hash the minhash/simhash portable twins use
+    (``dedup.minhash_signatures_portable``), reproducible in any SQL
+    dialect so a whole sketch can be value-checked across engines."""
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col(col), F.lit(f":{seed + d}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col(col), F.lit(seed + d))
+    return F.pmod(h, F.lit(width))
+
+
 def count_min_sketch(
     items: DataFrame,
     col: str = "token",
     depth: int = 4,
     width: int = 16384,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Build a count-min sketch over ``items[col]`` as a DataFrame of
     ``(row, bucket, cnt)`` with at most depth×width rows.
@@ -68,9 +87,7 @@ def count_min_sketch(
                 *[
                     F.struct(
                         F.lit(d).alias("row"),
-                        F.pmod(F.xxhash64(F.col(col), F.lit(seed + d)), F.lit(width)).alias(
-                            "bucket"
-                        ),
+                        _cms_bucket(col, d, width, seed, portable).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -89,6 +106,7 @@ def cms_estimate(
     depth: int = 4,
     width: int = 16384,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Point-frequency estimates for ``probes[col]`` from a sketch built
     with the SAME (depth, width, seed): hash each probe into its
@@ -113,9 +131,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(d).alias("row"),
-                        F.pmod(F.xxhash64(F.col(col), F.lit(seed + d)), F.lit(width)).alias(
-                            "bucket"
-                        ),
+                        _cms_bucket(col, d, width, seed, portable).alias("bucket"),
                     )
                     for d in range(depth)
                 ]

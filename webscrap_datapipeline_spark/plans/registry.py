@@ -204,6 +204,9 @@ _DEFER_TO_ROUND: dict[str, int] = {
     # re-entries + the r8 freshness cohort — this defers one round
     # rather than evict an r8 row. Local parity covers it now.
     "embedding_ann_multiprobe_topk": 12,
+    # round 11 late addition (same allocation arithmetic as above):
+    # the portable-CMS value-check twin waits for the r12 window.
+    "token_cms_portable_estimates": 12,
 }
 
 # Queries whose PLAN or ORACLE changed in the round named by the pin —

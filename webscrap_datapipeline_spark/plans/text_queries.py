@@ -1496,3 +1496,86 @@ def token_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), F.col("token").asc())
     )
+
+
+@query(
+    "token_cms_portable_estimates",
+    # Full value check of the count-min math itself (the last sketch
+    # family without a portable twin — minhash and simhash already have
+    # theirs): md5-derived 32-bit bucket hashes make every counter cell
+    # and every point estimate reproducible in the oracle engine, so
+    # build + probe + min-over-rows is replayed end-to-end in SQL. The
+    # xxhash64 production variant (token_cms_profile) stays the fast
+    # path with its pytest error-bound pins.
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   w -> w <> '')) AS token
+        FROM documents
+    ), exact_top AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY token
+        ORDER BY exact_count DESC, token ASC
+        LIMIT 10
+    ), depths (d) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+        SELECT d AS row,
+               CAST(('0x' || substring(md5(token || ':' || CAST(42 + d AS VARCHAR)), 1, 8)) AS BIGINT) % 16384 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks CROSS JOIN depths
+        GROUP BY 1, 2
+    ), probe_cells AS (
+        SELECT p.token, d.d AS row,
+               CAST(('0x' || substring(md5(p.token || ':' || CAST(42 + d.d AS VARCHAR)), 1, 8)) AS BIGINT) % 16384 AS bucket
+        FROM exact_top p CROSS JOIN depths d
+    ), est AS (
+        SELECT pc.token, MIN(COALESCE(c.cnt, 0)) AS est_count
+        FROM probe_cells pc
+        LEFT JOIN cells c ON pc.row = c.row AND pc.bucket = c.bucket
+        GROUP BY pc.token
+    )
+    SELECT t.token, t.exact_count, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(e.est_count - t.exact_count AS BIGINT) AS overestimate
+    FROM exact_top t JOIN est e USING (token)
+    ORDER BY t.exact_count DESC, t.token ASC
+    """,
+    tags=("text", "sketch", "cms"),
+)
+def token_cms_portable_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`token_cms_profile` with the engine-portable md5 bucketing
+    (`operators/sketches._cms_bucket(portable=True)`): the ENTIRE
+    sketch — 4×16384 counter build, probe cell hashing, min-over-rows
+    estimation — is value-checked against the oracle's SQL replay,
+    upgrading the CMS family from rows-only + pytest bounds to a
+    hash-green algorithm proof. Same plan shape as the production
+    variant: one map-side-combined aggregation bounded by sketch size,
+    probes joined against the broadcast (depth×width)-bounded sketch."""
+    from ..operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+        lower_alnum_tokens,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir), spark)
+    toks = docs.select(
+        F.explode(lower_alnum_tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    sketch = count_min_sketch(toks, "token", portable=True)
+    est = cms_estimate(sketch, exact_top.select("token"), "token", portable=True)
+    return (
+        exact_top.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+    )
