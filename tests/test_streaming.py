@@ -370,6 +370,40 @@ def test_foreachbatch_sink_commit_ordering_and_idempotence(spark, tmp_path):
     assert spark.read.parquet(wh).count() == 3
 
 
+def test_warehouse_sink_sharded_state_table(spark, tmp_path):
+    """state_shards=N (round-12, closing the round-11 state-sink scale
+    note): the per-key watermark table is hash-partitioned on the key
+    instead of coalesce(1)-rewritten, so the per-batch rewrite
+    parallelizes while readers and merge semantics stay identical —
+    same keys, same max-ts watermarks, across multiple data files."""
+    from webscrap_datapipeline_spark.streaming.sinks import warehouse_append_sink
+
+    wh = str(tmp_path / "warehouse")
+    st = str(tmp_path / "state")
+    sink = warehouse_append_sink(wh, st, key_col="key", ts_col="ts", state_shards=4)
+    mk = lambda rows: spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    sink(mk([("A", t(0), 1.0), ("B", t(0, 5), 2.0), ("C", t(0, 7), 3.0)]), 0)
+    sink(mk([("A", t(1), 5.0), ("D", t(0, 9), 4.0)]), 1)
+
+    state = {
+        r["key"]: r["last_seen"]
+        for r in spark.read.parquet(os.path.join(st, "current")).collect()
+    }
+    assert state == {"A": t(1), "B": t(0, 5), "C": t(0, 7), "D": t(0, 9)}
+    data_files = [
+        f
+        for f in os.listdir(os.path.join(st, "current"))
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) > 1  # the rewrite really is sharded
+
+    import pytest
+
+    with pytest.raises(ValueError, match="state_shards"):
+        warehouse_append_sink(wh, st, key_col="key", ts_col="ts", state_shards=0)
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     from webscrap_datapipeline_spark.streaming.enrich import interval_join_streams
 
@@ -1114,6 +1148,75 @@ def test_index_retention_prunes_by_newest_ingest_and_bounds_the_corpus(
     assert prune_lsh_index(spark, index_dir, min_batch_id=10**6)["pruned_ids"] == []
 
 
+def test_dedup_time_based_retention_prunes_by_event_time(spark, tmp_path):
+    """round-12 (round-11 VERDICT item 5): retain_ts_seconds states the
+    dedup window in EVENT TIME over the ``.maxts`` sidecars a
+    ``ts_col``-configured sink writes. Pins: (1) the cutoff is
+    stream-time (newest seen event time minus the window), never wall
+    clock; (2) a doc older than the window no longer pairs while an
+    in-window doc still does; (3) a fold propagates the marker; (4)
+    the knob without ts_col, and with an inert maximal in-sink fold,
+    fail loudly."""
+    import pytest
+
+    from webscrap_datapipeline_spark.streaming.dedup_stream import (
+        compact_lsh_index,
+        incremental_near_dup_sink,
+    )
+    from webscrap_datapipeline_spark.streaming.index_core import (
+        max_ingest_ts_marker,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = incremental_near_dup_sink(
+        index_dir, pairs_dir, ts_col="ts", retain_ts_seconds=300.0
+    )
+    mk = lambda d, t, ts: spark.createDataFrame(
+        [(d, t, float(ts))], "doc_id string, text string, ts double"
+    )
+    sink(mk("a0", t_a, 100.0), 0)
+    base = index_dir.rstrip("/")
+    assert max_ingest_ts_marker(spark, base, 0) == 100.0
+    # stream time advances far past the window: batch 0 expires, but
+    # the MINE of this batch still ran against it first (retention is
+    # post-mine), so the cross-window pair is found once
+    sink(mk("b1", t_a, 1000.0), 1)
+    parts = {
+        r[0]
+        for r in spark.read.parquet(index_dir).select("__batch_id").distinct().collect()
+    }
+    assert parts == {1}  # maxts 100 < 1000 - 300
+    got1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 1).collect()
+    }
+    assert got1 == {("b1", "a0")}
+    # a later duplicate pairs only against the in-window copy
+    sink(mk("c2", t_a, 1020.0), 2)
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).filter(F.col("__batch_id") == 2).collect()
+    }
+    assert got2 == {("c2", "b1")}
+
+    # fold propagates .maxts (all sources known → max rides along)
+    stats = compact_lsh_index(spark, index_dir, upto_batch_id=2)
+    cid = stats["new_partition_id"]
+    assert max_ingest_ts_marker(spark, base, cid) == 1020.0
+
+    # guard rails
+    with pytest.raises(ValueError, match="needs ts_col"):
+        incremental_near_dup_sink(index_dir, pairs_dir, retain_ts_seconds=10.0)
+    with pytest.raises(ValueError, match="retention inert"):
+        incremental_near_dup_sink(
+            index_dir, pairs_dir, ts_col="ts", retain_ts_seconds=10.0,
+            compact_every=2,
+        )
+
+
 def test_compaction_crashed_nonatomic_publish_never_loses_rows(
     spark, tmp_path, monkeypatch
 ):
@@ -1149,7 +1252,11 @@ def test_compaction_crashed_nonatomic_publish_never_loses_rows(
         for r in spark.read.parquet(index_dir).select("doc", "band", "bucket").collect()
     }
 
-    real_rename = ds.fs_rename
+    # the publish rename lives in the shared lifecycle core (round-12
+    # unification) — patch it there
+    from webscrap_datapipeline_spark.streaming import index_core as ic
+
+    real_rename = ic.fs_rename
 
     def crash_mid_copy(spark_, src, dst):
         # object-store rename = per-file copy + delete; die after the
@@ -1162,10 +1269,10 @@ def test_compaction_crashed_nonatomic_publish_never_loses_rows(
         shutil.copy2(os.path.join(src, data[0]), os.path.join(dst, data[0]))
         raise RuntimeError("simulated crash mid non-atomic publish")
 
-    monkeypatch.setattr(ds, "fs_rename", crash_mid_copy)
+    monkeypatch.setattr(ic, "fs_rename", crash_mid_copy)
     with pytest.raises(RuntimeError, match="simulated crash"):
         ds.compact_lsh_index(spark, index_dir, upto_batch_id=1)
-    monkeypatch.setattr(ds, "fs_rename", real_rename)
+    monkeypatch.setattr(ic, "fs_rename", real_rename)
 
     # (1) no reader ever loses a row: originals still present, the
     # partial partition adds only duplicates

