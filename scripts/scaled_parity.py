@@ -82,9 +82,18 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scaled_parity")
     ap.add_argument("--queries", default="")
     ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
+    ap.add_argument(
+        "--compare", choices=("faithful", "hashed"), default="faithful",
+        help="'faithful' = the driver's pandas sort-and-compare twin; "
+        "'hashed' = chunked multiset-md5 digest with the same per-cell "
+        "canonicalization (tests/oracle_compare.compare_hashed) — same "
+        "verdicts, no O(n log n) comparator sorts and no full oracle "
+        "materialization, for large --factor sweeps whose wall was "
+        "comparator-dominated (round-11 VERDICT item 7)",
+    )
     args = ap.parse_args()
 
-    from tests.oracle_compare import compare, duckdb_con
+    from tests.oracle_compare import compare, compare_hashed, duckdb_con
     from webscrap_datapipeline_spark.session import get_spark
 
     spark = get_spark(app_name="scaled-parity")
@@ -166,7 +175,8 @@ def main() -> None:
             results.append({"query": name, "rows_only": n, "sec": round(time.monotonic() - t0, 2)})
             print(json.dumps(results[-1]), flush=True)
             continue
-        res = compare(df, con, q.oracle)
+        cmp_fn = compare_hashed if args.compare == "hashed" else compare
+        res = cmp_fn(df, con, q.oracle)
         t_spark = round(time.monotonic() - t0, 2)
         row = {"query": name, "ok": res["ok"], "sec": t_spark,
                "rows": res.get("spark_rows")}
@@ -180,7 +190,8 @@ def main() -> None:
     if not args.keep and created_corpus:
         shutil.rmtree(corpus, ignore_errors=True)
     n_oracled = sum(1 for r in results if "ok" in r)
-    print(f"== scaled parity x{args.factor}: {n_oracled - len(fails)}/{n_oracled} "
+    print(f"== scaled parity x{args.factor} [{args.compare}]: "
+          f"{n_oracled - len(fails)}/{n_oracled} "
           f"oracled green, {len(results) - n_oracled} rows-only ran; FAILS={fails}")
     sys.exit(1 if fails else 0)
 

@@ -114,6 +114,74 @@ def _sorted_rows(pdf: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _multiset_digest(pdf: pd.DataFrame, mod: int = 1 << 127) -> int:
+    """Order-independent digest of a canonicalized frame chunk: md5 of
+    each canonical row, summed mod 2¹²⁷ — equal multisets of rows give
+    equal sums; unequal ones collide with probability ~2⁻¹²⁷."""
+    import hashlib
+
+    total = 0
+    for row in pdf.itertuples(index=False, name=None):
+        canon = tuple(_canon_cell(v) for v in row)
+        total = (
+            total
+            + int.from_bytes(hashlib.md5(repr(canon).encode()).digest(), "big")
+        ) % mod
+    return total
+
+
+def compare_hashed(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Chunked multiset-hash comparison for REPLICATED-scale sweeps
+    (round-11 VERDICT item 7): the faithful :func:`compare` pays two
+    full materializations plus two O(n log n) mixed-dtype pandas sorts
+    — at ×64 replication the comparator, not the engines, dominated
+    the sweep wall (event_lag_deltas: 221.8 s oracle-side vs
+    engine-side seconds). This mode keeps the IDENTICAL per-cell
+    canonicalization (dtype-sensitive — the part that catches real
+    mismatches) but replaces sort-and-compare with an
+    order-independent md5-multiset digest, streamed from DuckDB in
+    arrow-sized chunks so the oracle result is never fully
+    materialized. Same verdicts up to a ~2⁻¹²⁷ collision.
+
+    Deliberately NOT driver-faithful on one quirk: the driver (and
+    :func:`compare`) crash on list-valued cells in ``sort_values``;
+    hashing has no sort, so list outputs pass here. Use this mode for
+    large-factor sweeps only, after the faithful mode vetted the same
+    queries at small factor."""
+    res: dict[str, Any] = {"mode": "hashed"}
+    try:
+        s_pdf = spark_df.toPandas()
+    except Exception as exc:
+        return {"ok": False, "err": f"fetch: {type(exc).__name__}: {exc}"}
+    s_cols = sorted(s_pdf.columns, key=lambda c: c.lower())
+    s_hash = _multiset_digest(s_pdf.reindex(s_cols, axis=1))
+    s_rows = len(s_pdf)
+    del s_pdf
+
+    try:
+        cur = con.execute(sql)
+        d_cols_raw = [d[0] for d in cur.description]
+        d_cols = sorted(d_cols_raw, key=lambda c: c.lower())
+        d_hash, d_rows = 0, 0
+        while True:
+            chunk = cur.fetch_df_chunk()
+            if chunk is None or len(chunk) == 0:
+                break
+            d_hash = (d_hash + _multiset_digest(chunk.reindex(d_cols, axis=1))) % (
+                1 << 127
+            )
+            d_rows += len(chunk)
+    except Exception as exc:
+        return {"ok": False, "err": f"fetch: {type(exc).__name__}: {exc}"}
+
+    res.update(spark_rows=s_rows, duck_rows=d_rows, spark_cols=s_cols, duck_cols=d_cols)
+    res["cols_ok"] = [c.lower() for c in s_cols] == [c.lower() for c in d_cols]
+    res["count_ok"] = s_rows == d_rows
+    res["values_ok"] = s_hash == d_hash
+    res["ok"] = bool(res["cols_ok"] and res["count_ok"] and res["values_ok"])
+    return res
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     """Returns dict with 'ok' plus diagnostics. Mirrors the driver:
     row count, column-name set, then dtype-sensitive value equality

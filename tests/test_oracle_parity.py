@@ -42,3 +42,41 @@ def test_rows_only_runs(spark, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # stable, non-empty schema
+
+
+@pytest.mark.parametrize(
+    "name", ORACLE_QUERIES[:3] + ["pricing_summary", "event_lag_deltas"]
+)
+def test_hashed_comparator_agrees_green(spark, duck, name):
+    """compare_hashed (the large-factor sweep mode, round-11 VERDICT
+    item 7) must return the same green verdict as the faithful
+    comparator on real query/oracle pairs."""
+    from .oracle_compare import compare_hashed
+
+    q = REGISTRY[name]
+    res = compare_hashed(q.fn(spark, PARITY_SF), duck, q.oracle)
+    assert res["ok"], f"{name}: {res}"
+
+
+def test_hashed_comparator_catches_mismatches(spark, duck):
+    """...and must stay dtype-sensitive and mismatch-sensitive: a value
+    diff, a row-count diff, and an int-vs-float dtype diff (the round-2
+    class of driver failure) all go red under the hash too."""
+    from .oracle_compare import compare_hashed
+
+    df = spark.createDataFrame([(1, 2.5), (2, 3.5)], "k int, v double")
+    assert compare_hashed(df, duck, "SELECT * FROM (VALUES (1, 2.5), (2, 3.5)) t(k, v)")["ok"]
+    # value diff
+    assert not compare_hashed(
+        df, duck, "SELECT * FROM (VALUES (1, 2.5), (2, 99.0)) t(k, v)"
+    )["ok"]
+    # row-count diff
+    assert not compare_hashed(df, duck, "SELECT 1 AS k, 2.5 AS v")["ok"]
+    # dtype diff: same VALUES, int vs float k on the oracle side
+    assert not compare_hashed(
+        df, duck, "SELECT CAST(k AS DOUBLE) AS k, v FROM (VALUES (1, 2.5), (2, 3.5)) t(k, v)"
+    )["ok"]
+    # column-name diff
+    assert not compare_hashed(
+        df, duck, "SELECT * FROM (VALUES (1, 2.5), (2, 3.5)) t(kk, v)"
+    )["ok"]
