@@ -684,6 +684,30 @@ def test_ann_bucketed_layout_serves_identically_and_prunes_the_scan(
     assert "__bpart" in final_plan(buck_dir, multiprobe=1)
 
 
+def test_choose_ann_layout_policy():
+    """The measured serve-layout policy (SCALE.md r12): flat below the
+    cold-cache crossover; above it a power-of-two P sized to the query
+    batch so the base probe set prunes to ≲1/8 of the parts; unknown
+    corpus → flat; P clamped to the namespace ceiling."""
+    from webscrap_datapipeline_spark.streaming.ann_stream import (
+        BUCKETED_SERVE_BREAKEVEN_VECS,
+        choose_ann_layout,
+    )
+
+    assert choose_ann_layout(0) is None
+    assert choose_ann_layout(-5) is None
+    assert choose_ann_layout(BUCKETED_SERVE_BREAKEVEN_VECS - 1) is None
+    p = choose_ann_layout(BUCKETED_SERVE_BREAKEVEN_VECS)
+    assert p == 64  # default batch 8 → 8×8 → min_parts floor
+    assert choose_ann_layout(10**8, query_batch=100) == 1024
+    assert choose_ann_layout(10**9, query_batch=10**6) == 4096  # clamped
+    # every returned P is a power of two (Hamming-1 probes then stay
+    # within 1 + log2 P parts per query)
+    for qb in (1, 8, 33, 100, 5000):
+        p = choose_ann_layout(10**8, query_batch=qb)
+        assert p & (p - 1) == 0
+
+
 def test_ann_bucketed_layout_ivf_kind(spark, sf_dir, tmp_path):
     """The serve-prune layout is kind-agnostic: an IVF-celled index
     under bucket_parts answers exactly like its flat twin at every

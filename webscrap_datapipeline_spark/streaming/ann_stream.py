@@ -121,6 +121,37 @@ from .index_core import (
 
 GEOMETRY_FILE = "_geometry.json"
 
+# The measured local crossover for the serve-prune layout
+# (SCALE.md round 12, scripts/ann_serve_prune_probe.py): below ~6.4M
+# vectors the flat layout's lower fixed costs (fewer files, no
+# probed-parts driver job) beat the pruned scan even COLD — at 6.4M
+# the cold-cache cells cross (flat 2.29 s vs bucketed 1.77 s at mp0)
+# as the scan starts to dominate. local[32]-on-NVMe is the
+# conservative harness for this constant: on an object store the scan
+# is I/O-bound far earlier, so this gate errs toward flat — never
+# picks bucketed where flat measured faster locally.
+BUCKETED_SERVE_BREAKEVEN_VECS = 4_000_000
+
+
+def choose_ann_layout(
+    corpus_vecs: int, query_batch: int = 8, min_parts: int = 64
+) -> int | None:
+    """``bucket_parts`` for a new ANN index, by the measured policy —
+    the serve twin of `dedup_stream.choose_index_layout`. Returns
+    None (flat layout) below the measured crossover; above it, a
+    power-of-two P sized so a typical ``query_batch``'s base probe
+    set still prunes to ≲1/8 of the parts (probed parts ≤ distinct
+    query buckets at multiprobe=0, so P ≈ 8 × batch keeps the pruned
+    fraction ≤ ~12%), clamped to [min_parts, 4096] — 4096 dirs is the
+    sane namespace ceiling for one index (mirror of
+    `operators/bucketing.py`'s bucket-count guidance).
+    ``corpus_vecs <= 0`` (unknown) → flat, the zero-setup default."""
+    if corpus_vecs <= 0 or corpus_vecs < BUCKETED_SERVE_BREAKEVEN_VECS:
+        return None
+    target = max(min_parts, 8 * max(1, query_batch))
+    p = 1 << (target - 1).bit_length()  # next power of two >= target
+    return max(min_parts, min(4096, p))
+
 
 def read_ann_geometry(spark: SparkSession, index_dir: str) -> dict | None:
     """The index's pinned geometry (``dim``, ``n_planes``, ``seed``,
@@ -373,11 +404,20 @@ def bootstrap_ann_index(
     fs_delete(spark, index_dir)
     _write_geometry(spark, index_dir, geo)
     obs = Observation("ann_bootstrap_rows")
-    (
+    stamped = (
         _with_bpart(_bucketed_batch(corpus, geo, id_col, vec_col), geo)
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .withColumn("__batch_id", F.lit(-1).cast("long"))
-        .write.mode("overwrite")
+    )
+    if geo.get("bucket_parts"):
+        # one-time backfill: pay one shuffle to land ~one file per
+        # cell — without it every write task emits a file into every
+        # cell dir (tasks × P small files), the same rationale as the
+        # fold's repartition. Streaming batches deliberately do NOT
+        # do this (ingest stays shuffle-free; the fold consolidates).
+        stamped = stamped.repartition(int(geo["bucket_parts"]), "__bpart")
+    (
+        stamped.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*_partition_cols(geo))
         .parquet(index_dir)
