@@ -71,18 +71,46 @@ def connected_components(
     # sites here: the full quality-filter → dedup → pair-mining DAG) —
     # measured 3× the whole pipeline's cost at sf0.1. Edges are
     # candidate pairs, orders of magnitude smaller than the corpus.
+    #
+    # Job-count discipline (round-12 optimization, guide §1/§2): every
+    # materialization here is a LAZY localCheckpoint, so the per-
+    # iteration convergence count is the ONLY action — it materializes
+    # the iteration's label table and counts the changed rows in one
+    # job, where the previous eager-checkpoint-then-count shape paid two
+    # driver barriers per round (plus two for init). And the initial
+    # label table starts one propagation step ahead: component =
+    # min(self, direct neighbors) falls out of the same aggregation
+    # that used to compute distinct vertices, so the common
+    # near-clique dedup graph (min-id a direct neighbor of every
+    # member) converges in ONE confirming round instead of
+    # init + propagate + confirm. Measured on dedup_cluster_sizes at
+    # sf0.1: 25 → 17 jobs per run. The fixpoint — label = min
+    # reachable vertex id — is unchanged: fused init is exactly the
+    # first hash-min round, and the loop still runs to no-change.
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     if sym_materializer is None:
-        sym = sym.localCheckpoint(eager=True)
+        # The two-branch union DOUBLES the edge plan's partition count
+        # (each branch keeps its upstream layout), and the loop re-reads
+        # this checkpoint every round — bound it to cluster width before
+        # materializing. coalesce is narrow (no shuffle) and a no-op
+        # when the plan is already at or below the target, so at real
+        # scale this only ever merges read-side slivers, never collapses
+        # a wide compute. Measured at sf0.1: the union arrived as 128
+        # sliver partitions and every CC round scheduled ~230 tasks on
+        # kilobytes of labels (guide §2.2: fewer, larger partitions).
+        sym = sym.coalesce(edges.sparkSession.sparkContext.defaultParallelism)
+        sym = sym.localCheckpoint(eager=False)
     else:
         sym = sym_materializer(sym)
     labels = (
-        sym.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint(eager=True)
+        sym.groupBy(F.col("u").alias("vertex"))
+        .agg(F.min("v").alias("__mn"))
+        .select(
+            "vertex", F.least(F.col("vertex"), F.col("__mn")).alias("component")
+        )
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -99,7 +127,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")

@@ -1583,6 +1583,12 @@ def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ps_supplycost_cents").cast("decimal(38,0)") * F.col("ps_availqty")
             ).alias("value_cents")
         )
+        # two consumers (the global total and the HAVING filter) — one
+        # lazy localCheckpoint materializes the per-part aggregate once;
+        # without it the whole partsupp synthesis (union+distinct over
+        # the lineitem keys) executes twice per run (r12: 40 Exchange /
+        # 28 scan nodes in the plan, halved by this)
+        .localCheckpoint(eager=False)
     )
     tot = per_part.agg(
         F.sum("value_cents").alias("total_cents"),
@@ -1712,7 +1718,13 @@ def min_cost_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scoped = ps.join(
         F.broadcast(euro_supp), F.col("ps_suppkey") == F.col("s_suppkey")
-    ).select("ps_partkey", "ps_suppkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
+    ).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name"
+    # two consumers (the per-part min aggregate and the join-back) — a
+    # lazy localCheckpoint materializes the region-scoped partsupp once;
+    # without it the whole partsupp synthesis executes twice per run
+    # (r12: 36 Exchange / 26 scan nodes in the plan, halved by this)
+    ).localCheckpoint(eager=False)
     min_cost = scoped.groupBy("ps_partkey").agg(
         F.min("ps_supplycost_cents").alias("min_cost_cents")
     )

@@ -65,10 +65,17 @@ def seeded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     # three consumers (text mine, vector mine, survivor agg) — one lazy
-    # localCheckpoint materializes the seeded corpus once on first use
+    # localCheckpoint materializes the seeded corpus once on first use.
+    # The three-branch union stacks each branch's partitions (3× cluster
+    # width here, since base was widened to defaultParallelism); bound
+    # the checkpoint back to cluster width with a narrow coalesce so the
+    # ~10 downstream stage scans don't each schedule 3× the tasks on
+    # sliver partitions (measured 96 → 32 partitions per consumer scan
+    # at sf0.1; no shuffle, no-op when already at/below width).
     return (
         base.unionByName(text_copies)
         .unionByName(vec_copies)
+        .coalesce(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
 

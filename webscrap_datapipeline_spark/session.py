@@ -44,6 +44,15 @@ def get_spark(
         # rejects; read as long and convert in the catalog (µs truncation,
         # matching what DuckDB does natively)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # micros-precision parquet timestamps with isAdjustedToUTC=false
+        # (this corpus's orders/lineitem/events) read as TimestampType
+        # directly: the stored micros-since-epoch become the instant with
+        # ZERO per-row conversion — bit-identical to the catalog's NTZ
+        # make_timestamp(..., 'UTC') rewrite under ANY session timezone,
+        # at raw-scan speed (measured 2× on the lineitem scan, r12).
+        # The catalog's NTZ branch stays as the fallback for sessions
+        # that keep inference on.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- scale: adaptive execution is the 100 TB safety net ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
