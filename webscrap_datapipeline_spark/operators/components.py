@@ -87,21 +87,37 @@ def connected_components(
     # sf0.1: 25 → 17 jobs per run. The fixpoint — label = min
     # reachable vertex id — is unchanged: fused init is exactly the
     # first hash-min round, and the loop still runs to no-change.
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # Symmetrize in ONE pass over the edge plan: explode a 2-element
+    # struct array per edge instead of unioning two selects of the same
+    # plan. The union shape executed the edges' ENTIRE upstream DAG
+    # twice inside the materialization job (both branches re-run the
+    # pair mining — at the call sites here that is the full
+    # quality-filter → dedup → posting-list → pair fan-out pipeline,
+    # the single most expensive stage of every consumer); the explode
+    # runs it once and emits both directions per row (guide §2: don't
+    # compute things twice). Row set is identical — (u,v) ∪ (v,u).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     if sym_materializer is None:
-        # The two-branch union DOUBLES the edge plan's partition count
-        # (each branch keeps its upstream layout), and the loop re-reads
-        # this checkpoint every round — bound it to cluster width before
-        # materializing. coalesce is narrow (no shuffle) and a no-op
-        # when the plan is already at or below the target, so at real
-        # scale this only ever merges read-side slivers, never collapses
-        # a wide compute. Measured at sf0.1: the union arrived as 128
-        # sliver partitions and every CC round scheduled ~230 tasks on
-        # kilobytes of labels (guide §2.2: fewer, larger partitions).
-        sym = sym.coalesce(edges.sparkSession.sparkContext.defaultParallelism)
-        sym = sym.localCheckpoint(eager=False)
+        # Materialize at the plan's natural width (the checkpoint job is
+        # the expensive pair-mining compute — never cap it), THEN bound
+        # the loop's read side: every CC round re-reads this checkpoint,
+        # and read-side slivers scheduled ~230 tasks/round on kilobytes
+        # of labels at sf0.1 (guide §2.2: fewer, larger partitions).
+        # coalesce AFTER the checkpoint is a narrow merge of in-memory
+        # blocks only — upstream compute width is untouched (round-12
+        # ADVICE: coalesce-before-checkpoint propagated up to the
+        # previous shuffle boundary and could cap the per-row
+        # Jaccard/cosine filter stage at exactly core count).
+        sym = sym.localCheckpoint(eager=False).coalesce(
+            edges.sparkSession.sparkContext.defaultParallelism
+        )
     else:
         sym = sym_materializer(sym)
     labels = (
