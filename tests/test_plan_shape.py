@@ -51,23 +51,36 @@ def test_small_dimension_joins_are_broadcast(spark):
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan[:2000]}"
 
 
-def test_no_accidental_cartesian_products(spark):
-    """Equi-join queries must never degrade to cartesian/nested-loop.
-    (Intentional exceptions exist and are listed: 1-row scalar-subquery
-    broadcasts and the theta containment join, which is nested-loop by
-    definition but over broadcast-small sides.)"""
-    intentional = {
+def test_no_accidental_cartesian_products_and_no_row_udfs(spark):
+    """Engine-wide plan policy, ONE registry sweep for both invariants
+    (round 13: the two separate sweeps each rebuilt all 158 plans —
+    and the iterative queries run real training actions inside fn()
+    even at sf0.001, so every extra sweep costs ~40-60 s of suite
+    wall; merged with identical coverage):
+
+    * Equi-join queries must never degrade to cartesian/nested-loop.
+      (Intentional exceptions are listed: 1-row scalar-subquery
+      broadcasts and the theta containment join, which is nested-loop
+      by definition but over broadcast-small sides.)
+    * No registered query may plan BatchEvalPython (row-at-a-time
+      pickling, the 10-100x slow path). Python is allowed only
+      Arrow-batched — ArrowEvalPython (pandas_udf), mapInPandas/Arrow,
+      applyInPandas, or Arrow-optimized UDTFs."""
+    intentional_cartesian = {
         "parts_above_avg_price",  # 1-row mean broadcast (scalar subquery)
         "tfidf_top_terms",  # 1-row corpus-size broadcast
         "keyword_containment_join",  # theta join: BNLJ over small keyword side
         "embedding_knn_query0",  # 1-query-vector broadcast
         "embedding_pairwise_topk",  # bounded slice self-pairing
     }
+    row_udf_offenders = []
     for name, q in REGISTRY.items():
-        if name in intentional:
-            continue
         plan = plan_str(q.fn(spark, SF_SMALL))
-        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in intentional_cartesian:
+            assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if "BatchEvalPython" in plan:
+            row_udf_offenders.append(name)
+    assert not row_udf_offenders, row_udf_offenders
 
 
 def test_aggregates_partially_combine_map_side(spark):
@@ -278,18 +291,9 @@ def test_aqe_switches_to_broadcast_join_at_runtime(spark):
     assert "BroadcastHashJoin" in final, final
 
 
-def test_no_row_at_a_time_python_udfs_anywhere(spark):
-    """Engine-wide Python-boundary policy, enforced: no registered query
-    may plan BatchEvalPython (row-at-a-time pickling, the 10-100× slow
-    path). Python is allowed only Arrow-batched — ArrowEvalPython
-    (pandas_udf), mapInPandas/Arrow, applyInPandas (FlatMapGroupsInPandas
-    / Cogroup), or Arrow-optimized UDTFs."""
-    offenders = []
-    for name, q in REGISTRY.items():
-        plan = plan_str(q.fn(spark, SF_SMALL), "simple")
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+# (The BatchEvalPython policy sweep is folded into
+# test_no_accidental_cartesian_products_and_no_row_udfs above — one
+# registry sweep enforces both invariants.)
 
 
 def test_aqe_splits_skewed_join_partitions(spark, tmp_path):

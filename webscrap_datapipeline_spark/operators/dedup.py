@@ -469,14 +469,21 @@ def minhash_signatures(
             lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
         ).alias("__hs"),
     )
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_PRIME)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
+    # One SQL fragment for the whole signature array instead of
+    # num_hashes × (transform + lambda) builder calls: the per-lambda
+    # py4j round trips made plan CONSTRUCTION the dominant cost of the
+    # 32-permutation projection (~0.4 s/plan measured r13 — the same
+    # finding as similarity._l2sq_sql). Catalyst tree unchanged:
+    # `{a} * h` is int-literal × bigint → bigint, the prime literal
+    # exceeds int32 so it parses as BIGINT — exactly the types the
+    # F.lit builder produced.
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(`__hs`, h -> ({a} * h + {b}) % {_MINHASH_PRIME}))"
             for (a, b) in _perm_consts(num_hashes)
-        ]
+        )
+        + ")"
     )
     return hashed.select("doc", sig.alias("signature"))
 
@@ -500,14 +507,21 @@ def minhash_signatures_portable(
         ).alias("__hs"),
     )
 
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_PRIME)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
+    # One SQL fragment for the whole signature array instead of
+    # num_hashes × (transform + lambda) builder calls: the per-lambda
+    # py4j round trips made plan CONSTRUCTION the dominant cost of the
+    # 32-permutation projection (~0.4 s/plan measured r13 — the same
+    # finding as similarity._l2sq_sql). Catalyst tree unchanged:
+    # `{a} * h` is int-literal × bigint → bigint, the prime literal
+    # exceeds int32 so it parses as BIGINT — exactly the types the
+    # F.lit builder produced.
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(`__hs`, h -> ({a} * h + {b}) % {_MINHASH_PRIME}))"
             for (a, b) in _perm_consts(num_hashes)
-        ]
+        )
+        + ")"
     )
     return hashed.select("doc", sig.alias("signature"))
 
