@@ -768,7 +768,17 @@ def embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    # four actions scan the corpus (seed collect, one per Lloyd
+    # iteration, the final search) — a lazy localCheckpoint
+    # materializes the filtered corpus on first use instead of
+    # re-reading the parquet per action (same shape as
+    # embedding_ivf_topk; measured 2.02 → 1.89 s same-JVM A/B, r13,
+    # results identical)
+    corpus = (
+        emb.filter(F.col("vec_id") >= 5)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
     seed_rows = (
         corpus.filter(F.col("vec_id") % 61 == 8)
         .orderBy("vec_id")
