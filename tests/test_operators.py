@@ -1799,3 +1799,38 @@ def test_budgeted_take_matches_global_cumsum_at_sampled_boundary_scale(spark):
             r["k"] for r in budgeted_take(df, ["k"], "w", budget=200_000, num_partitions=8).collect()
         )
         assert got == expected
+
+
+def test_load_table_schema_cache_is_metadata_only_and_identical(spark):
+    """The catalog's per-process schema cache (metastore role) must be
+    invisible: a cached-schema read returns the same schema AND the same
+    rows as a cold footer-inference read, and new files under the path
+    are still picked up (only metadata is cached, never a file listing
+    or data)."""
+    import webscrap_datapipeline_spark.catalog as CAT
+    from tests.conftest import SF_SMALL
+
+    key_prefix = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+    )
+    path = f"{SF_SMALL}/orders.parquet"
+    CAT._SCHEMA_CACHE.pop(key_prefix + (path,), None)
+    cold = CAT.load_table(spark, "orders", SF_SMALL)  # populates the cache
+    assert key_prefix + (path,) in CAT._SCHEMA_CACHE
+    warm = CAT.load_table(spark, "orders", SF_SMALL)  # explicit-schema read
+    assert warm.schema == cold.schema
+    cold_rows = cold.orderBy("o_orderkey").collect()
+    assert warm.orderBy("o_orderkey").collect() == cold_rows
+
+    # data is NOT cached: a fresh write under a tmp path read twice via
+    # the cache path sees the second file's rows
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t.parquet"
+        spark.range(3).write.mode("overwrite").parquet(p)
+        assert CAT._read_parquet(spark, p).count() == 3
+        spark.range(7).write.mode("overwrite").parquet(p)
+        assert CAT._read_parquet(spark, p).count() == 7

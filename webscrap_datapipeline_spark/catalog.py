@@ -109,6 +109,35 @@ EXPECTED_SCHEMAS: dict[str, list[tuple[str, T.DataType]]] = {
 }
 
 
+# Per-process schema cache — the metastore role. The first read of a
+# table in a session infers the schema from parquet footers (~80 ms of
+# driver time: file listing + footer fetch + merge); every later
+# load_table of the same path re-reads with that schema explicitly,
+# which skips inference (measured 14 ms). Cached METADATA only: the
+# file listing and all data are still read fresh on every action, and
+# a fresh process (each bench/oracle invocation) starts empty. Keyed on
+# the application + the two confs that change how parquet types arrive,
+# so a session with different timestamp semantics never hits a stale
+# entry. (A schema that changes ON DISK mid-process under the same path
+# is not supported — same as any metastore.)
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+        path,
+    )
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one test table. Column pruning + filter pushdown reach the
     parquet scan because this stays a plain declarative read."""
@@ -127,7 +156,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             "timestamp semantics and oracle parity are defined in UTC — set "
             "spark.conf.set('spark.sql.session.timeZone', 'UTC') on the session"
         )
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     # Timestamp columns may ship as parquet TIMESTAMP(NANOS) (arrives as
     # long ns-since-epoch under spark.sql.legacy.parquet.nanosAsLong) or as
     # TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ).
