@@ -189,6 +189,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+# Partition-count memo for ensure_min_parallelism: ``df.rdd`` doesn't
+# just plan — on an AQE plan with exchanges (the seeded-corpus join) it
+# MATERIALIZES every shuffle stage to learn the final partition count,
+# i.e. real jobs run and are thrown away, ~0.2 s warm / ~1 s cold per
+# call. The widen-or-not decision is a pure function of the analyzed
+# plan + the on-disk file sizes, so memoize it per (application,
+# semantic plan hash, target). Plan METADATA only — no rows are cached,
+# and a fresh process starts empty. A 32-bit semanticHash collision
+# could at worst mis-skip a repartition (a width decision, never a
+# result change).
+_NUM_PARTITIONS_CACHE: dict[tuple, int] = {}
+
+
 def ensure_min_parallelism(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IF the plan currently has fewer partitions
     than the cluster has cores. Compute-heavy per-row work (shingling,
@@ -196,7 +209,16 @@ def ensure_min_parallelism(df: DataFrame, spark: SparkSession, min_partitions: i
     otherwise runs on one task; on a real lake the scan already yields
     ≥cores splits and this is a no-op (we never repartition *down*)."""
     n = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    key = (
+        spark.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        n,
+    )
+    cur = _NUM_PARTITIONS_CACHE.get(key)
+    if cur is None:
+        cur = df.rdd.getNumPartitions()
+        _NUM_PARTITIONS_CACHE[key] = cur
+    if cur < n:
         return df.repartition(n)
     return df
 
